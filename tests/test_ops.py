@@ -1,0 +1,161 @@
+"""Parity tests of the TPU-native point ops against CUDA-semantics oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bridgeqa_tpu.ops import (
+    ball_query,
+    furthest_point_sample,
+    gather_points,
+    group_all,
+    group_points,
+    query_and_group,
+    three_interpolate,
+    three_nn,
+)
+from tests.oracles import ball_query_oracle, fps_oracle, three_nn_oracle
+
+
+def _cloud(rng, b=2, n=128, scale=2.0):
+    return (rng.rand(b, n, 3).astype(np.float32) - 0.5) * scale
+
+
+class TestFPS:
+    def test_matches_oracle(self, rng):
+        xyz = _cloud(rng, b=3, n=200)
+        got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 32))
+        want = fps_oracle(xyz, 32)
+        np.testing.assert_array_equal(got, want)
+
+    def test_padding_points_skipped(self, rng):
+        xyz = _cloud(rng, b=2, n=64, scale=4.0)
+        xyz[:, 40:, :] = 0.0  # padding: norm^2 <= 1e-3 must never be sampled
+        got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 16))
+        assert got.max() < 40
+        np.testing.assert_array_equal(got, fps_oracle(xyz, 16))
+
+    def test_first_index_is_zero(self, rng):
+        xyz = _cloud(rng)
+        got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 8))
+        assert (got[:, 0] == 0).all()
+
+    def test_all_padding(self):
+        xyz = np.zeros((1, 16, 3), dtype=np.float32)
+        got = np.asarray(furthest_point_sample(jnp.asarray(xyz), 4))
+        np.testing.assert_array_equal(got, 0)
+
+
+class TestBallQuery:
+    @pytest.mark.parametrize("radius,nsample", [(0.5, 8), (0.2, 4), (1.5, 16)])
+    def test_matches_oracle(self, rng, radius, nsample):
+        xyz = _cloud(rng, b=2, n=100)
+        new_xyz = _cloud(rng, b=2, n=16)
+        got = np.asarray(ball_query(radius, nsample, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+        want = ball_query_oracle(radius, nsample, xyz, new_xyz)
+        np.testing.assert_array_equal(got, want)
+
+    def test_empty_ball_returns_zero(self, rng):
+        xyz = _cloud(rng, b=1, n=32) + 100.0
+        new_xyz = np.zeros((1, 4, 3), dtype=np.float32)
+        got = np.asarray(ball_query(0.1, 8, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+        np.testing.assert_array_equal(got, 0)
+
+    def test_fill_with_first(self, rng):
+        # one point inside the ball -> every slot is that point's index
+        xyz = np.full((1, 16, 3), 50.0, dtype=np.float32)
+        xyz[0, 7] = [0.05, 0.0, 0.0]
+        new_xyz = np.zeros((1, 1, 3), dtype=np.float32)
+        got = np.asarray(ball_query(0.2, 8, jnp.asarray(xyz), jnp.asarray(new_xyz)))
+        np.testing.assert_array_equal(got, 7)
+
+
+class TestThreeNN:
+    def test_matches_oracle(self, rng):
+        unknown = _cloud(rng, b=2, n=64)
+        known = _cloud(rng, b=2, n=24)
+        d_got, i_got = three_nn(jnp.asarray(unknown), jnp.asarray(known))
+        d_want, i_want = three_nn_oracle(unknown, known)
+        np.testing.assert_array_equal(np.asarray(i_got), i_want)
+        np.testing.assert_allclose(np.asarray(d_got), d_want, rtol=1e-6, atol=1e-6)
+
+
+class TestGatherGroup:
+    def test_gather(self, rng):
+        pts = rng.rand(2, 50, 7).astype(np.float32)
+        idx = rng.randint(0, 50, (2, 10)).astype(np.int32)
+        got = np.asarray(gather_points(jnp.asarray(pts), jnp.asarray(idx)))
+        want = np.stack([pts[b][idx[b]] for b in range(2)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_group(self, rng):
+        pts = rng.rand(2, 50, 7).astype(np.float32)
+        idx = rng.randint(0, 50, (2, 10, 4)).astype(np.int32)
+        got = np.asarray(group_points(jnp.asarray(pts), jnp.asarray(idx)))
+        want = np.stack([pts[b][idx[b]] for b in range(2)])
+        np.testing.assert_array_equal(got, want)
+
+    def test_group_grad_is_scatter_add(self, rng):
+        # backward of grouping must accumulate like the CUDA atomicAdd kernel
+        pts = rng.rand(1, 20, 3).astype(np.float32)
+        idx = np.array([[[0, 0, 5], [5, 5, 5]]], dtype=np.int32)
+
+        def loss(p):
+            return jnp.sum(group_points(p, jnp.asarray(idx)))
+
+        g = np.asarray(jax.grad(loss)(jnp.asarray(pts)))
+        want = np.zeros_like(pts)
+        for m in range(2):
+            for s in range(3):
+                want[0, idx[0, m, s]] += 1.0
+        np.testing.assert_allclose(g, want)
+
+    def test_query_and_group_shapes(self, rng):
+        xyz = _cloud(rng, b=2, n=64)
+        new_xyz = _cloud(rng, b=2, n=8)
+        feats = rng.rand(2, 64, 5).astype(np.float32)
+        out, gxyz = query_and_group(
+            0.5, 4, jnp.asarray(xyz), jnp.asarray(new_xyz), jnp.asarray(feats),
+            use_xyz=True, normalize_xyz=True, ret_grouped_xyz=True,
+        )
+        assert out.shape == (2, 8, 4, 8)
+        assert gxyz.shape == (2, 8, 4, 3)
+        # xyz offsets recentered and normalized by radius -> within ~1 for real neighbors
+        assert np.abs(np.asarray(out)[..., :3]).max() <= 100.0
+
+    def test_group_all(self, rng):
+        xyz = _cloud(rng, b=2, n=16)
+        feats = rng.rand(2, 16, 5).astype(np.float32)
+        out = group_all(jnp.asarray(xyz), jnp.asarray(feats))
+        assert out.shape == (2, 1, 16, 8)
+        np.testing.assert_allclose(np.asarray(out)[:, 0, :, :3], xyz, rtol=1e-6)
+
+
+class TestThreeInterpolate:
+    def test_value_and_grad(self, rng):
+        pts = rng.rand(2, 12, 6).astype(np.float32)
+        idx = rng.randint(0, 12, (2, 20, 3)).astype(np.int32)
+        w = rng.rand(2, 20, 3).astype(np.float32)
+        w = w / w.sum(-1, keepdims=True)
+        got = np.asarray(three_interpolate(jnp.asarray(pts), jnp.asarray(idx), jnp.asarray(w)))
+        want = np.zeros((2, 20, 6), dtype=np.float32)
+        for b in range(2):
+            for n in range(20):
+                for k in range(3):
+                    want[b, n] += pts[b, idx[b, n, k]] * w[b, n, k]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        # gradcheck vs numerical, mirroring lib/pointnet2/pointnet2_test.py:18-33
+        def f(p):
+            return jnp.sum(three_interpolate(p, jnp.asarray(idx), jnp.asarray(w)) ** 2)
+
+        g = np.asarray(jax.grad(f)(jnp.asarray(pts)))
+        eps = 1e-3
+        for probe in [(0, 3, 1), (1, 11, 5)]:
+            pp = pts.copy()
+            pp[probe] += eps
+            pm = pts.copy()
+            pm[probe] -= eps
+            num = (f(jnp.asarray(pp)) - f(jnp.asarray(pm))) / (2 * eps)
+            np.testing.assert_allclose(g[probe], num, rtol=1e-2)
