@@ -1,0 +1,110 @@
+"""Detector forward/loss tests on synthetic scenes + a loss-decreases check."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
+from bridgeqa_tpu.losses import get_loss
+from bridgeqa_tpu.models.detector import VoteNetDetector
+from tests.synthetic import make_batch
+
+CFG = ScannetDatasetConfig()
+
+
+def build_detector():
+    return VoteNetDetector(
+        num_class=CFG.num_class,
+        num_heading_bin=CFG.num_heading_bin,
+        num_size_cluster=CFG.num_size_cluster,
+        mean_size_arr=CFG.mean_size_arr,
+        num_proposal=64,
+    )
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.RandomState(42)
+    b = make_batch(rng, batch_size=2, num_points=2048)
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+@pytest.fixture(scope="module")
+def model_and_vars(batch):
+    model = build_detector()
+    variables = model.init(jax.random.PRNGKey(0), batch["point_clouds"], train=False)
+    return model, variables
+
+
+class TestDetectorForward:
+    def test_shapes(self, batch, model_and_vars):
+        model, variables = model_and_vars
+        out = model.apply(variables, batch["point_clouds"], train=False)
+        b = batch["point_clouds"].shape[0]
+        assert out["seed_xyz"].shape == (b, 1024, 3)
+        assert out["seed_features"].shape == (b, 1024, 256)
+        assert out["vote_xyz"].shape == (b, 1024, 3)
+        assert out["aggregated_vote_xyz"].shape == (b, 64, 3)
+        assert out["objectness_scores"].shape == (b, 64, 2)
+        assert out["center"].shape == (b, 64, 3)
+        assert out["heading_scores"].shape == (b, 64, 1)
+        assert out["size_scores"].shape == (b, 64, 18)
+        assert out["size_residuals"].shape == (b, 64, 18, 3)
+        assert out["sem_cls_scores"].shape == (b, 64, 18)
+        assert out["bbox_corner"].shape == (b, 64, 8, 3)
+        for k, v in out.items():
+            assert jnp.isfinite(jnp.asarray(v, jnp.float32)).all(), f"{k} not finite"
+
+    def test_vote_features_normalized(self, batch, model_and_vars):
+        model, variables = model_and_vars
+        out = model.apply(variables, batch["point_clouds"], train=False)
+        norms = jnp.linalg.norm(out["vote_features"], axis=-1)
+        np.testing.assert_allclose(np.asarray(norms), 1.0, rtol=1e-4)
+
+    def test_loss_computes(self, batch, model_and_vars):
+        model, variables = model_and_vars
+        out = model.apply(variables, batch["point_clouds"], train=False)
+        end_points = dict(batch)
+        end_points.update(out)
+        end_points["cluster_ref"] = jnp.zeros(out["objectness_scores"].shape[:2])
+        loss, end_points = get_loss(end_points, CFG, detection=True, use_reference=True,
+                                    use_lang_classifier=False, use_answer=False)
+        assert jnp.isfinite(loss)
+        for k in ("vote_loss", "objectness_loss", "box_loss", "sem_cls_loss", "ref_loss"):
+            assert jnp.isfinite(end_points[k]), k
+
+
+class TestDetectorTrains:
+    def test_loss_decreases(self, batch):
+        model = build_detector()
+        variables = model.init(jax.random.PRNGKey(0), batch["point_clouds"], train=True)
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def step(params, batch_stats, opt_state):
+            def loss_fn(p):
+                out, mutated = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    batch["point_clouds"], train=True, mutable=["batch_stats"],
+                )
+                end_points = dict(batch)
+                end_points.update(out)
+                loss, _ = get_loss(end_points, CFG, detection=True, use_reference=False,
+                                   use_lang_classifier=False, use_answer=False)
+                return loss, mutated["batch_stats"]
+
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_stats, opt_state, loss
+
+        losses = []
+        for _ in range(20):
+            params, batch_stats, opt_state, loss = step(params, batch_stats, opt_state)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), f"loss did not decrease: {losses}"
