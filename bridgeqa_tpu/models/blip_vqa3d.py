@@ -1,0 +1,282 @@
+"""BLIP_VQA3D: the 2D/3D twin-transformer VQA model.
+
+Equivalent of ``models/blip_vqa_3d.py:45-598`` ("paralleltwin" path): ViT
+image encoder + twin med-BERT question encoder (2D stream cross-attends to
+the image, 3D stream to projected scene-object proposals) + twin causal LM
+answer decoders, low-rank bilinear 2D/3D fusion, and the rank-answer
+inference that scores a fixed answer list with both decoders and ensembles
+``exp(s_2d) + exp(1.05 * s_3d)`` (``blip_vqa_3d.py:437-495``).
+
+TPU-first differences:
+- tokenization happens in the host data pipeline; this module takes padded
+  static-length token ids (question 80, answers padded);
+- ``rank_answer``'s per-sample python loops (``blip_vqa_3d.py:537-541``)
+  are replaced by batched gather/scatter with a static k;
+- everything (train loss and rank inference) runs under one jit.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bridgeqa_tpu.models.med import (
+    BertLMHeadModel,
+    BertModelTwin,
+    MedConfig,
+    label_smoothed_lm_loss,
+    normal_init,
+)
+from bridgeqa_tpu.models.vit import create_vit
+
+IGNORE_INDEX = -100
+
+
+@dataclasses.dataclass(frozen=True)
+class BlipVQA3DConfig:
+    med: MedConfig = dataclasses.field(default_factory=MedConfig)
+    image_size: int = 480
+    vit: str = "base"
+    vit_drop_path_rate: float = 0.1
+    vit_custom_embed_dim: int = 256  # only for vit='custom' (tests)
+    vit_custom_depth: int = 2
+    vit_custom_heads: int = 4
+    scene_size: int = 128  # proposal feature dim fed to the 3D adapter
+    num_answers: int = 4500
+    answer_pdrop: float = 0.1
+    use_text_decoder: bool = True
+    use_scene_classifier: bool = False
+    use_scene_classifier_2d3d: bool = False
+    share_decoder: bool = False
+    decoder_layers: int | None = None
+    encoder_layers: int | None = None
+    pad_token_id: int = 0
+    bos_token_id: int = 30522  # [DEC] (blip.py:326-331)
+    scene_ensemble_weight: float = 1.05  # blip_vqa_3d.py:492
+
+
+class MlpAdapter(nn.Module):
+    """Dense-GELU-Dropout-Dense-GELU-LayerNorm adapter
+    (``linear_scene_object`` / ``camera_encoder``, ``blip_vqa_3d.py:142-159``)."""
+
+    hidden_size: int
+    drop: float = 0.1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        x = nn.Dense(self.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(self.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="fc2")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+class ClassifierHead(nn.Module):
+    """``answer_cls`` head: Dense-GELU-Dropout-LayerNorm-Dense
+    (``blip_vqa_3d.py:125-139``)."""
+
+    hidden_size: int
+    num_answers: int
+    drop: float = 0.1
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        x = nn.Dense(self.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.Dense(self.num_answers, kernel_init=normal_init, dtype=self.dtype, name="fc2")(x)
+
+
+class BLIPVQA3D(nn.Module):
+    cfg: BlipVQA3DConfig
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        c = self.cfg
+        med = c.med
+        if c.encoder_layers is not None:
+            med = dataclasses.replace(med, num_hidden_layers=c.encoder_layers)
+        self.visual_encoder, vision_width = create_vit(
+            c.vit, c.image_size, drop_path_rate=c.vit_drop_path_rate, dtype=self.dtype,
+            custom_embed_dim=c.vit_custom_embed_dim, custom_depth=c.vit_custom_depth,
+            custom_heads=c.vit_custom_heads,
+        )
+        if vision_width != med.hidden_size:
+            raise ValueError(
+                "twin exchange concatenates image embeds with BERT hidden states; "
+                f"vision width ({vision_width}) must equal med hidden size ({med.hidden_size})"
+            )
+        enc_cfg = dataclasses.replace(med, encoder_width=vision_width)
+        self.text_encoder = BertModelTwin(enc_cfg, dtype=self.dtype, name="text_encoder")
+
+        dec_med = med if c.decoder_layers is None else dataclasses.replace(med, num_hidden_layers=c.decoder_layers)
+        dec_cfg = dataclasses.replace(dec_med, encoder_width=med.hidden_size)
+        self.text_decoder = BertLMHeadModel(dec_cfg, dtype=self.dtype, name="text_decoder")
+        if not c.share_decoder:
+            self.text_decoder_scene = BertLMHeadModel(dec_cfg, dtype=self.dtype, name="text_decoder_scene")
+
+        h = med.hidden_size
+        lowrank = h // 8
+        self.lowrank_2d = nn.Dense(lowrank, kernel_init=normal_init, dtype=self.dtype, name="lowrank_2d")
+        self.lowrank_3d = nn.Dense(lowrank, kernel_init=normal_init, dtype=self.dtype, name="lowrank_3d")
+        # torch nn.Bilinear(lowrank, lowrank, h): out_o = x W_o y + b_o
+        self.bilinear_kernel = self.param(
+            "bilinear_fusion_kernel",
+            nn.initializers.uniform(scale=1.0 / (lowrank**0.5)),
+            (h, lowrank, lowrank),
+            jnp.float32,
+        )
+        self.bilinear_bias = self.param("bilinear_fusion_bias", nn.initializers.zeros, (h,), jnp.float32)
+
+        self.linear_scene_object = MlpAdapter(h, dtype=self.dtype, name="linear_scene_object")
+        self.camera_encoder = MlpAdapter(h, dtype=self.dtype, name="camera_encoder")
+        self.answer_cls = ClassifierHead(h, c.num_answers, c.answer_pdrop, dtype=self.dtype, name="answer_cls")
+        self.answer_cls_2d3d = ClassifierHead(h, c.num_answers, c.answer_pdrop, dtype=self.dtype,
+                                              name="answer_cls_2d3d")
+
+    def _decoder_scene(self):
+        return self.text_decoder if self.cfg.share_decoder else self.text_decoder_scene
+
+    def encode_image(self, image, *, train: bool = False):
+        """image (B, H, W, 3) -> (B, 1+N, width)."""
+        return self.visual_encoder(image, deterministic=not train)
+
+    def encode_question(self, image_embeds, question_ids, question_mask,
+                        scene_object_embeds, scene_object_mask, *, train: bool = False):
+        """Twin encoding of the question against image + scene streams.
+
+        Returns (hidden_2d, hidden_3d) each (B, Lq, H).
+        """
+        image_atts = jnp.ones(image_embeds.shape[:2], dtype=jnp.int32)
+        scene_embeds = self.linear_scene_object(scene_object_embeds, deterministic=not train)
+        (h2d, h3d), _ = self.text_encoder(
+            question_ids,
+            question_mask,
+            image_embeds,
+            image_atts,
+            scene_embeds,
+            scene_object_mask,
+            deterministic=not train,
+        )
+        return h2d, h3d
+
+    def fuse_2d3d(self, h2d, h3d):
+        """Low-rank bilinear fusion + stream mean (``blip_vqa_3d.py:502-507``)."""
+        x = self.lowrank_2d(h2d)
+        y = self.lowrank_3d(h3d)
+        bilinear = jnp.einsum("...i,oij,...j->...o", x, self.bilinear_kernel.astype(x.dtype), y)
+        return bilinear + self.bilinear_bias.astype(x.dtype) + (h2d + h3d) / 2.0
+
+    def __call__(self, image, question_ids, question_mask, answer_ids, answer_mask,
+                 scene_object_embeds, scene_object_mask, *, train: bool = True):
+        """Training forward (``blip_vqa_3d.py:289-349``): twin encode + both
+        decoder LM losses. Returns (loss, fused_hidden, question_mask)."""
+        image_embeds = self.encode_image(image, train=train)
+        h2d, h3d = self.encode_question(
+            image_embeds, question_ids, question_mask, scene_object_embeds, scene_object_mask, train=train
+        )
+
+        answer_targets = jnp.where(answer_ids == self.cfg.pad_token_id, IGNORE_INDEX, answer_ids)
+        batch = image_embeds.shape[0]
+
+        _, loss_2d = self.text_decoder(
+            answer_ids, answer_mask, h2d, question_mask, labels=answer_targets, deterministic=not train
+        )
+        _, loss_3d = self._decoder_scene()(
+            answer_ids, answer_mask, h3d, question_mask, labels=answer_targets, deterministic=not train
+        )
+        loss = (jnp.sum(loss_2d) + jnp.sum(loss_3d)) / batch
+
+        fused = self.fuse_2d3d(h2d, h3d)
+        return loss, fused, question_mask
+
+    # ---- inference ----
+
+    def _rank_with_decoder(self, decoder, question_states, question_mask,
+                           answer_ids, answer_mask, k: int):
+        """Vectorized ``rank_answer`` (``blip_vqa_3d.py:509-566``): one-step
+        first-token beam then full scoring of the top-k answers.
+
+        answer_ids: (A, La) full answer-list token table (row 0's first token
+        is bos, as the reference overwrites ids[:,0] with [DEC]).
+
+        Returns (topk_ids (B, k), log_probs_sum (B, k)).
+        """
+        num_ques = question_states.shape[0]
+        bos = jnp.full((num_ques, 1), self.cfg.bos_token_id, dtype=answer_ids.dtype)
+
+        start_logits, _ = decoder(bos, None, question_states, question_mask, deterministic=True)
+        logits = start_logits[:, 0, :]
+
+        answer_first_token = answer_ids[:, 1]
+        prob_first = jax.nn.softmax(logits.astype(jnp.float32), axis=1)[:, answer_first_token]  # (B, A)
+        topk_probs, topk_ids = jax.lax.top_k(prob_first, k)
+
+        input_ids = answer_ids[topk_ids]  # (B, k, La)
+        input_atts = answer_mask[topk_ids]
+        la = answer_ids.shape[1]
+        input_ids = input_ids.reshape(num_ques * k, la)
+        input_atts = input_atts.reshape(num_ques * k, la)
+        targets = jnp.where(input_ids == self.cfg.pad_token_id, IGNORE_INDEX, input_ids)
+
+        q_states = jnp.repeat(question_states, k, axis=0)
+        q_mask = jnp.repeat(question_mask, k, axis=0)
+
+        _, loss = decoder(input_ids, input_atts, q_states, q_mask, labels=targets, deterministic=True)
+        log_probs_sum = (-loss).reshape(num_ques, k)
+        return topk_ids, log_probs_sum
+
+    def rank(self, image, question_ids, question_mask, answer_ids, answer_mask,
+             scene_object_embeds, scene_object_mask, k_test: int = 128):
+        """Rank-answer inference with the 2D/3D decoder ensemble
+        (``blip_vqa_3d.py:437-495``).
+
+        Returns (fused_hidden, scores dict, question_mask); scores are over
+        the full answer list (A,) per sample, -1e4 for unscored answers.
+        """
+        image_embeds = self.encode_image(image, train=False)
+        h2d, h3d = self.encode_question(
+            image_embeds, question_ids, question_mask, scene_object_embeds, scene_object_mask, train=False
+        )
+
+        num_answers = answer_ids.shape[0]
+        batch = h2d.shape[0]
+        k = min(k_test, num_answers)
+
+        def scatter_scores(topk_ids, scores):
+            all_scores = jnp.zeros((batch, num_answers), dtype=jnp.float32)
+            b_idx = jnp.arange(batch)[:, None].repeat(k, 1)
+            all_scores = all_scores.at[b_idx.reshape(-1), topk_ids.reshape(-1)].add(scores.reshape(-1))
+            return jnp.where(all_scores == 0, -1e4, all_scores)
+
+        ids_2d, scores_2d = self._rank_with_decoder(
+            self.text_decoder, h2d, question_mask, answer_ids, answer_mask, k
+        )
+        all_2d = scatter_scores(ids_2d, scores_2d)
+
+        ids_3d, scores_3d = self._rank_with_decoder(
+            self._decoder_scene(), h3d, question_mask, answer_ids, answer_mask, k
+        )
+        all_3d = scatter_scores(ids_3d, scores_3d)
+
+        # likelihood-space ensemble: exp(s_2d) + exp(1.05 * s_3d)
+        ensemble = jnp.exp(all_2d) + jnp.exp(self.cfg.scene_ensemble_weight * all_3d)
+
+        fused = self.fuse_2d3d(h2d, h3d)
+        scores = {
+            "answer_scores": ensemble,
+            "answer_scores_scene": all_3d,
+            "answer_scores_2d": all_2d,
+        }
+        return fused, scores, question_mask
+
+    def decode_step(self, input_ids, input_mask, question_states, question_mask):
+        """One full-prefix decoder pass returning next-token logits for each
+        stream-agnostic generation driver. input_ids (B, L)."""
+        logits, _ = self.text_decoder(input_ids, input_mask, question_states, question_mask, deterministic=True)
+        return logits

@@ -1,0 +1,367 @@
+"""med-BERT: BLIP's mixture-of-encoder-decoder BERT, including the BridgeQA
+twin transformer.
+
+Equivalent of ``models/med.py``:
+
+- ``BertEmbeddings/SelfAttention/Attention/Intermediate/Output/Layer``
+  (``med.py:53-395``): post-LN BERT with optional cross-attention whose
+  keys/values project from ``encoder_width``;
+- ``BertEncoder`` (``med.py:401-505``);
+- ``BertEncoderTwin`` / ``BertModelTwin`` (``med.py:508-645, 975-1156``) —
+  the core BridgeQA mechanism: every layer runs twice (main + twin stream),
+  the main stream cross-attending to ``[image_embeds ‖ hidden_twin]`` and the
+  twin stream to ``[scene_objects ‖ hidden_main]``, with the question
+  attention mask appended to both cross masks (``med.py:1069-1070``);
+- ``BertLMHeadModel`` (``med.py:1324-1470``): causal decoder with
+  cross-attention, label-smoothed (0.1) per-sequence summed CE, tied
+  input/output embeddings.
+
+All sequence lengths are static (question 80, answers padded) so the whole
+stack jits cleanly; generation re-runs the short (<=20 token) answer prefix
+instead of maintaining a KV cache — at BridgeQA's answer lengths the cross
+attention to 80 question tokens dominates either way.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+NEG_INF = -10000.0  # HF additive-mask constant
+
+normal_init = nn.initializers.normal(stddev=0.02)
+
+
+@dataclasses.dataclass(frozen=True)
+class MedConfig:
+    """configs/med_config.json values."""
+
+    vocab_size: int = 30524
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_hidden_layers_twin: int | None = None
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    layer_norm_eps: float = 1e-12
+    encoder_width: int = 768
+    pad_token_id: int = 0
+    add_cross_attention: bool = True
+
+    @property
+    def twin_layers(self):
+        return self.num_hidden_layers_twin if self.num_hidden_layers_twin is not None else self.num_hidden_layers
+
+
+def extend_attention_mask(mask):
+    """(B, L) 1/0 mask -> (B, 1, 1, L) additive bias."""
+    return (1.0 - mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+
+
+def causal_attention_bias(mask):
+    """(B, L) padding mask -> (B, 1, L, L) additive causal+padding bias."""
+    l = mask.shape[-1]
+    causal = jnp.tril(jnp.ones((l, l), dtype=jnp.float32))
+    combined = causal[None, :, :] * mask[:, None, :].astype(jnp.float32)
+    return ((1.0 - combined) * NEG_INF)[:, None, :, :]
+
+
+class BertEmbeddings(nn.Module):
+    config: MedConfig
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        c = self.config
+        self.word_embeddings = nn.Embed(c.vocab_size, c.hidden_size, embedding_init=normal_init,
+                                        dtype=self.dtype, name="word_embeddings")
+        self.position_embeddings = nn.Embed(c.max_position_embeddings, c.hidden_size,
+                                            embedding_init=normal_init, dtype=self.dtype,
+                                            name="position_embeddings")
+        self.LayerNorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype)
+        self.dropout = nn.Dropout(c.hidden_dropout_prob)
+
+    def __call__(self, input_ids=None, inputs_embeds=None, position_offset=0, *, deterministic: bool):
+        if inputs_embeds is None:
+            inputs_embeds = self.word_embeddings(input_ids)
+        seq_length = inputs_embeds.shape[1]
+        position_ids = jnp.arange(position_offset, position_offset + seq_length)[None, :]
+        embeddings = inputs_embeds + self.position_embeddings(position_ids)
+        embeddings = self.LayerNorm(embeddings)
+        return self.dropout(embeddings, deterministic=deterministic)
+
+
+class BertSelfAttention(nn.Module):
+    config: MedConfig
+    is_cross_attention: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, hidden_states, attention_bias=None, encoder_hidden_states=None, *, deterministic: bool):
+        c = self.config
+        h, nh = c.hidden_size, c.num_attention_heads
+        hd = h // nh
+        b, lq = hidden_states.shape[:2]
+
+        query = nn.Dense(h, kernel_init=normal_init, dtype=self.dtype, name="query")(hidden_states)
+        kv_src = encoder_hidden_states if self.is_cross_attention else hidden_states
+        key = nn.Dense(h, kernel_init=normal_init, dtype=self.dtype, name="key")(kv_src)
+        value = nn.Dense(h, kernel_init=normal_init, dtype=self.dtype, name="value")(kv_src)
+
+        lk = kv_src.shape[1]
+        q = query.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
+        k = key.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
+        v = value.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
+        if attention_bias is not None:
+            scores = scores + attention_bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        probs_d = nn.Dropout(c.attention_probs_dropout_prob)(probs, deterministic=deterministic)
+
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_d, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, h)
+        return ctx, probs
+
+
+class BertSelfOutput(nn.Module):
+    config: MedConfig
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, hidden_states, input_tensor, *, deterministic: bool):
+        c = self.config
+        hidden_states = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="dense")(hidden_states)
+        hidden_states = nn.Dropout(c.hidden_dropout_prob)(hidden_states, deterministic=deterministic)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="LayerNorm")(hidden_states + input_tensor)
+
+
+class BertAttention(nn.Module):
+    config: MedConfig
+    is_cross_attention: bool = False
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.self = BertSelfAttention(self.config, self.is_cross_attention, dtype=self.dtype, name="self")
+        self.output = BertSelfOutput(self.config, dtype=self.dtype, name="output")
+
+    def __call__(self, hidden_states, attention_bias=None, encoder_hidden_states=None, *, deterministic: bool):
+        ctx, probs = self.self(hidden_states, attention_bias, encoder_hidden_states, deterministic=deterministic)
+        return self.output(ctx, hidden_states, deterministic=deterministic), probs
+
+
+class BertLayer(nn.Module):
+    config: MedConfig
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        c = self.config
+        self.attention = BertAttention(c, dtype=self.dtype, name="attention")
+        if c.add_cross_attention:
+            self.crossattention = BertAttention(c, is_cross_attention=True, dtype=self.dtype, name="crossattention")
+        self.intermediate_dense = nn.Dense(c.intermediate_size, kernel_init=normal_init, dtype=self.dtype,
+                                           name="intermediate_dense")
+        self.output_dense = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="output_dense")
+        self.output_LayerNorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="output_LayerNorm")
+        self.output_dropout = nn.Dropout(c.hidden_dropout_prob)
+
+    def __call__(self, hidden_states, attention_bias=None, encoder_hidden_states=None,
+                 encoder_attention_bias=None, *, deterministic: bool, multimodal: bool = True):
+        attention_output, self_probs = self.attention(hidden_states, attention_bias, deterministic=deterministic)
+        cross_probs = None
+        if multimodal and encoder_hidden_states is not None:
+            attention_output, cross_probs = self.crossattention(
+                attention_output, encoder_attention_bias, encoder_hidden_states, deterministic=deterministic
+            )
+        intermediate = nn.gelu(self.intermediate_dense(attention_output), approximate=False)
+        layer_output = self.output_dropout(self.output_dense(intermediate), deterministic=deterministic)
+        layer_output = self.output_LayerNorm(layer_output + attention_output)
+        return layer_output, self_probs, cross_probs
+
+
+class BertEncoder(nn.Module):
+    config: MedConfig
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.layer = [BertLayer(self.config, dtype=self.dtype, name=f"layer_{i}")
+                      for i in range(self.config.num_hidden_layers)]
+
+    def __call__(self, hidden_states, attention_bias=None, encoder_hidden_states=None,
+                 encoder_attention_bias=None, *, deterministic: bool, multimodal: bool = True):
+        for layer in self.layer:
+            hidden_states, _, _ = layer(
+                hidden_states, attention_bias, encoder_hidden_states, encoder_attention_bias,
+                deterministic=deterministic, multimodal=multimodal,
+            )
+        return hidden_states
+
+
+class BertEncoderTwin(nn.Module):
+    """Two-stream encoder with per-layer hidden-state exchange
+    (``med.py:508-645``). Stream A (main/2D) cross-attends to
+    ``[encoder_hidden ‖ hidden_twin]``, stream B (twin/3D) to
+    ``[encoder_hidden_twin ‖ hidden_main]``; both use the *pre-layer* value
+    of the other stream.
+    """
+
+    config: MedConfig
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.layer = [BertLayer(self.config, dtype=self.dtype, name=f"layer_{i}")
+                      for i in range(self.config.num_hidden_layers)]
+        self.layer_twin = [BertLayer(self.config, dtype=self.dtype, name=f"layer_twin_{i}")
+                           for i in range(self.config.twin_layers)]
+
+    def __call__(self, hidden_states, attention_bias, encoder_hidden_states, encoder_attention_bias,
+                 encoder_hidden_states_twin, encoder_attention_bias_twin, *, deterministic: bool,
+                 output_attentions: bool = False):
+        hidden_twin = hidden_states
+        last_attn = None
+        for i, layer in enumerate(self.layer):
+            layer_twin = self.layer_twin[i] if i < len(self.layer_twin) else None
+
+            cross_mix = jnp.concatenate([encoder_hidden_states, hidden_twin], axis=1)
+            cross_mix_twin = jnp.concatenate([encoder_hidden_states_twin, hidden_states], axis=1)
+
+            new_hidden, self_p, cross_p = layer(
+                hidden_states, attention_bias, cross_mix, encoder_attention_bias,
+                deterministic=deterministic,
+            )
+            if layer_twin is not None:
+                new_twin, self_pt, cross_pt = layer_twin(
+                    hidden_twin, attention_bias, cross_mix_twin, encoder_attention_bias_twin,
+                    deterministic=deterministic,
+                )
+                hidden_twin = new_twin
+            else:
+                self_pt = cross_pt = None
+            hidden_states = new_hidden
+            if output_attentions:
+                last_attn = {"self_2d": self_p, "self_3d": self_pt, "cross_2d": cross_p, "cross_3d": cross_pt}
+        return (hidden_states, hidden_twin), last_attn
+
+
+class BertModelTwin(nn.Module):
+    """``BertModelTwin`` (``med.py:975-1156``): embeddings + twin encoder.
+
+    Builds the cross masks by appending the question self-mask to the
+    image/scene masks (``med.py:1069-1070``).
+    """
+
+    config: MedConfig
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.embeddings = BertEmbeddings(self.config, dtype=self.dtype, name="embeddings")
+        self.encoder = BertEncoderTwin(self.config, dtype=self.dtype, name="encoder")
+
+    def __call__(self, input_ids, attention_mask, encoder_hidden_states, encoder_attention_mask,
+                 encoder_hidden_states_twin, encoder_attention_mask_twin, *, deterministic: bool,
+                 output_attentions: bool = False):
+        attention_bias = extend_attention_mask(attention_mask)
+        cross_mask = jnp.concatenate([encoder_attention_mask, attention_mask], axis=1)
+        cross_mask_twin = jnp.concatenate([encoder_attention_mask_twin, attention_mask], axis=1)
+
+        embedding_output = self.embeddings(input_ids, deterministic=deterministic)
+        return self.encoder(
+            embedding_output,
+            attention_bias,
+            encoder_hidden_states,
+            extend_attention_mask(cross_mask),
+            encoder_hidden_states_twin,
+            extend_attention_mask(cross_mask_twin),
+            deterministic=deterministic,
+            output_attentions=output_attentions,
+        )
+
+
+class BertModel(nn.Module):
+    config: MedConfig
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.embeddings = BertEmbeddings(self.config, dtype=self.dtype, name="embeddings")
+        self.encoder = BertEncoder(self.config, dtype=self.dtype, name="encoder")
+
+    def __call__(self, input_ids=None, attention_mask=None, encoder_hidden_states=None,
+                 encoder_attention_mask=None, inputs_embeds=None, *, deterministic: bool,
+                 is_decoder: bool = False, multimodal: bool = True):
+        if attention_mask is None:
+            ref = input_ids if input_ids is not None else inputs_embeds[..., 0]
+            attention_mask = jnp.ones(ref.shape[:2], dtype=jnp.int32)
+        attention_bias = causal_attention_bias(attention_mask) if is_decoder else extend_attention_mask(attention_mask)
+        cross_bias = None
+        if encoder_hidden_states is not None:
+            if encoder_attention_mask is None:
+                encoder_attention_mask = jnp.ones(encoder_hidden_states.shape[:2], dtype=jnp.int32)
+            cross_bias = extend_attention_mask(encoder_attention_mask)
+
+        embedding_output = self.embeddings(input_ids, inputs_embeds, deterministic=deterministic)
+        return self.encoder(
+            embedding_output, attention_bias, encoder_hidden_states, cross_bias,
+            deterministic=deterministic, multimodal=multimodal,
+        )
+
+
+class BertLMPredictionHead(nn.Module):
+    """``BertOnlyMLMHead``: transform (dense+gelu+LN) then a decoder tied to
+    the word embedding table plus a free bias."""
+
+    config: MedConfig
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, hidden_states, word_embed: nn.Embed):
+        c = self.config
+        h = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="transform_dense")(hidden_states)
+        h = nn.gelu(h, approximate=False)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="transform_LayerNorm")(h)
+        logits = word_embed.attend(h)
+        bias = self.param("bias", nn.initializers.zeros, (c.vocab_size,), jnp.float32)
+        return logits + bias
+
+
+def label_smoothed_lm_loss(logits, labels, epsilon: float = 0.1):
+    """torch ``CrossEntropyLoss(label_smoothing=0.1, reduction='none')`` with
+    ignore_index -100, shift-by-one, summed per sequence
+    (``med.py:1424-1432``). logits (B, L, V), labels (B, L) -> (B,)."""
+    shifted_logits = logits[:, :-1, :]
+    shifted_labels = labels[:, 1:]
+    valid = shifted_labels != -100
+    safe_labels = jnp.where(valid, shifted_labels, 0)
+    logp = jax.nn.log_softmax(shifted_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    smooth = -jnp.mean(logp, axis=-1)
+    per_token = (1.0 - epsilon) * nll + epsilon * smooth
+    per_token = jnp.where(valid, per_token, 0.0)
+    return jnp.sum(per_token, axis=-1)
+
+
+class BertLMHeadModel(nn.Module):
+    """Causal LM decoder with cross-attention (``med.py:1324-1470``)."""
+
+    config: MedConfig
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.bert = BertModel(self.config, dtype=self.dtype, name="bert")
+        self.cls = BertLMPredictionHead(self.config, dtype=self.dtype, name="cls")
+
+    def __call__(self, input_ids, attention_mask=None, encoder_hidden_states=None,
+                 encoder_attention_mask=None, labels=None, *, deterministic: bool):
+        """Returns (logits, per_sequence_loss | None)."""
+        sequence_output = self.bert(
+            input_ids,
+            attention_mask=attention_mask,
+            encoder_hidden_states=encoder_hidden_states,
+            encoder_attention_mask=encoder_attention_mask,
+            deterministic=deterministic,
+            is_decoder=True,
+        )
+        logits = self.cls(sequence_output, self.bert.embeddings.word_embeddings)
+        loss = label_smoothed_lm_loss(logits, labels) if labels is not None else None
+        return logits, loss
