@@ -1,0 +1,56 @@
+"""Language module: (bi)LSTM over GloVe/BERT word embeddings.
+
+Equivalent of ``models/lang_module.py:14-125`` for the 3D-only (non-BLIP)
+path: word dropout -> LSTM over padded sequences with true lengths
+(pack_padded semantics: the final hidden state is each sample's true last
+step) -> optional 18-way language classifier.
+"""
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from bridgeqa_tpu.models.med import normal_init
+
+
+class LangModule(nn.Module):
+    num_object_class: int
+    use_lang_classifier: bool = True
+    use_bidir: bool = False
+    hidden_size: int = 256
+    pdrop: float = 0.1
+
+    @nn.compact
+    def __call__(self, lang_feat, lang_len, *, train: bool):
+        """lang_feat (B, L, E) pre-embedded words (GloVe 300d or BERT states);
+        lang_len (B,) true lengths.
+
+        Returns dict with lang_out (B, L, H*dirs), lang_emb (B, H*dirs),
+        lang_mask (B, L) True=masked, and optionally lang_scores.
+        """
+        x = nn.Dropout(self.pdrop)(lang_feat, deterministic=not train)
+
+        rnn_fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), return_carry=True, name="lstm_fwd")
+        (c_f, h_f), out_f = rnn_fwd(x, seq_lengths=lang_len)
+        if self.use_bidir:
+            rnn_bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size), return_carry=True,
+                             reverse=True, keep_order=True, name="lstm_bwd")
+            (c_b, h_b), out_b = rnn_bwd(x, seq_lengths=lang_len)
+            lang_out = jnp.concatenate([out_f, out_b], axis=-1)
+            lang_emb = jnp.concatenate([h_f, h_b], axis=-1)
+        else:
+            lang_out = out_f
+            lang_emb = h_f
+
+        valid = jnp.arange(lang_out.shape[1])[None, :] < lang_len[:, None]
+        lang_out = jnp.where(valid[..., None], lang_out, 0.0)  # pad_packed zeros
+
+        out = {
+            "lang_out": lang_out,
+            "lang_emb": lang_emb,
+            # make_mask semantics (lang_module.py:71-78): True past true length
+            "lang_mask": ~valid,
+        }
+        if self.use_lang_classifier:
+            h = nn.Dropout(self.pdrop)(lang_emb, deterministic=not train)
+            out["lang_scores"] = nn.Dense(self.num_object_class, kernel_init=normal_init, name="lang_cls")(h)
+        return out

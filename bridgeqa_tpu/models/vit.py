@@ -141,7 +141,8 @@ class VisionTransformer(nn.Module):
         x = x + pos_embed[:, : x.shape[1], :].astype(x.dtype)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
 
-        dpr = [float(r) for r in jnp.linspace(0, self.drop_path_rate, self.depth)]
+        # per-layer stochastic-depth rates (python-static, safe under jit)
+        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         for i in range(self.depth):
             x = Block(
                 self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,

@@ -1,0 +1,165 @@
+"""Data-layer tests: tokenizer, answer vocab, pipeline semantics."""
+
+import numpy as np
+import pytest
+
+from bridgeqa_tpu.data.answers import Answer, build_answer_vocab, get_answer_score
+from bridgeqa_tpu.data.pipeline import BatchIterator, ScanQADataset, collate
+from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
+from bridgeqa_tpu.data.tokenization import (
+    WordPieceTokenizer,
+    build_test_vocab,
+    make_question_batch,
+)
+
+DC = ScannetDatasetConfig()
+
+
+class TestTokenizer:
+    @pytest.fixture
+    def tok(self):
+        vocab = build_test_vocab(
+            ["what", "color", "is", "the", "chair", "red", "?", ",", "near"],
+            extra_pieces=["cha", "##ir", "##s"],
+        )
+        return WordPieceTokenizer(vocab)
+
+    def test_basic(self, tok):
+        assert tok.tokenize("What color is the chair?") == ["what", "color", "is", "the", "chair", "?"]
+
+    def test_wordpiece_split(self, tok):
+        # greedy longest-match: whole word wins, then suffix pieces
+        assert tok.tokenize("chairs") == ["chair", "##s"]
+        assert tok.tokenize("chairir") == ["chair", "##ir"]
+
+    def test_unknown(self, tok):
+        assert tok.tokenize("zebra") == ["[UNK]"]
+
+    def test_encode_shapes_and_specials(self, tok):
+        ids, mask = tok.encode("what is red ?", 10, first_token=tok.enc_token_id)
+        assert ids.shape == (10,) and mask.shape == (10,)
+        assert ids[0] == tok.enc_token_id  # [ENC] overwrite
+        assert ids[mask.sum() - 1] == tok.sep_token_id
+        assert (ids[mask.sum():] == tok.pad_token_id).all()
+
+    def test_special_token_ids(self, tok):
+        # [DEC]/[ENC] appended after base vocab, mirroring blip.py:326-331
+        base = len(tok.vocab) - 2
+        assert tok.bos_token_id == base
+        assert tok.enc_token_id == base + 1
+
+    def test_decode_roundtrip(self, tok):
+        ids, mask = tok.encode("the chair is red", 12)
+        assert tok.decode(ids) == "the chair is red"
+
+    def test_batch(self, tok):
+        ids, mask = make_question_batch(tok, ["what is red ?", "the chair"], max_length=8)
+        assert ids.shape == (2, 8)
+        assert (ids[:, 0] == tok.enc_token_id).all()
+
+
+class TestAnswers:
+    def test_scores(self):
+        assert get_answer_score(0) == 0.0
+        assert get_answer_score(2) == 0.6
+        assert get_answer_score(10) == 1.0
+
+    def test_vocab_build(self):
+        train = [{"answers": ["red", "red", "blue"]}, {"answers": ["red"]}]
+        val = [{"answers": ["blue", "green"]}]
+        cands, counter = build_answer_vocab(train, val)
+        assert cands[0] == "red"  # most frequent first
+        assert counter["red"] == 3 and counter["blue"] == 2
+        cands2, _ = build_answer_vocab(train, val, answer_min_freq=2)
+        assert "green" not in cands2
+
+    def test_answer_class(self):
+        a = Answer(["red", "blue"])
+        assert a.stoi("red") == 0
+        assert a.stoi("nope") == -100
+        assert a.itos(1) == "blue"
+
+
+def synthetic_scene_npys(rng, n_points=5000, n_obj=3):
+    verts = np.zeros((n_points, 9), dtype=np.float32)
+    verts[:, :3] = rng.uniform(-3, 3, (n_points, 3))
+    verts[:, 3:6] = rng.randint(0, 255, (n_points, 3))
+    ins = np.zeros(n_points, dtype=np.int64)
+    sem = np.zeros(n_points, dtype=np.int64)
+    bboxes = np.zeros((n_obj, 8), dtype=np.float64)
+    ppo = n_points // (n_obj + 1)
+    for i in range(n_obj):
+        sl = slice(i * ppo, (i + 1) * ppo)
+        center = rng.uniform(-2, 2, 3)
+        size = rng.uniform(0.4, 1.0, 3)
+        verts[sl, :3] = center + (rng.rand(ppo, 3) - 0.5) * size
+        ins[sl] = i + 1
+        sem[sl] = DC.nyu40ids[i % 18]
+        bboxes[i] = [*center, *size, DC.nyu40ids[i % 18], i + 1]
+    return {
+        "mesh_vertices": verts,
+        "instance_labels": ins,
+        "semantic_labels": sem,
+        "instance_bboxes": bboxes,
+        "axis_align_matrix": np.eye(4),
+    }
+
+
+class TestPipeline:
+    @pytest.fixture
+    def dataset(self):
+        rng = np.random.RandomState(0)
+        scenes = {"scene0000_00": synthetic_scene_npys(rng)}
+        records = [
+            {"question": "what color is the chair ?", "answers": ["red"], "scene_id": "scene0000_00",
+             "question_id": "train-0", "object_ids": [1], "object_names": ["chair"]},
+            {"question": "where is the table ?", "answers": ["corner"], "scene_id": "scene0000_00",
+             "question_id": "train-1", "object_ids": [2], "object_names": ["table"]},
+        ]
+        cands, counter = build_answer_vocab(records, [])
+        vocab = build_test_vocab(["what", "color", "is", "the", "chair", "where", "table",
+                                  "red", "corner", "?"])
+        tok = WordPieceTokenizer(vocab)
+        return ScanQADataset(records, scenes, answer_cands=cands, answer_counter=counter,
+                             split="train", num_points=1024, augment=True, tokenizer=tok,
+                             question_len=16, answer_len=6)
+
+    def test_sample_keys_and_shapes(self, dataset):
+        d = dataset[0]
+        assert d["point_clouds"].shape == (1024, 4)  # xyz + height
+        assert d["vote_label"].shape == (1024, 9)
+        assert d["center_label"].shape == (128, 3)
+        assert d["question_ids"].shape == (16,)
+        assert d["answer_ids"].shape == (6,)
+        assert d["ref_obj_mask"] == 1
+        assert d["object_cat"] == 2  # chair
+
+    def test_votes_point_at_instance_centers(self, dataset):
+        dataset.augment = False
+        d = dataset[0]
+        mask = d["vote_label_mask"].astype(bool)
+        assert mask.sum() > 0
+        pts = d["point_clouds"][mask, :3]
+        votes = d["vote_label"][mask, :3]
+        centers = pts + votes
+        # all points of one instance vote for the same center
+        assert np.abs(centers - centers.mean(0)).max() < 2.5
+
+    def test_ref_labels_match_target_box(self, dataset):
+        dataset.augment = False
+        d = dataset[0]
+        i = int(np.argmax(d["ref_box_label"]))
+        np.testing.assert_allclose(d["ref_center_label"], d["center_label"][i])
+
+    def test_collate_and_iterator(self, dataset):
+        it = BatchIterator(dataset, batch_size=2, shuffle=True, seed=1)
+        batches = list(it)
+        assert len(batches) == 1
+        b = batches[0]
+        assert b["point_clouds"].shape == (2, 1024, 4)
+        assert isinstance(b["question"], list) and len(b["question"]) == 2
+
+    def test_answer_scores(self, dataset):
+        d = dataset[0]
+        assert d["answer_cats"].sum() == 1
+        assert d["answer_cat_scores"].max() == get_answer_score(1)
