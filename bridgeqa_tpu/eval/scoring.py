@@ -1,0 +1,309 @@
+"""Answer scoring: EM@1/EM@10 + captioning metrics, dependency-free.
+
+Equivalent of ``scripts/score.py`` + the VQA-style answer normalization in
+``lib/qa_helper.py:101-186``. The reference shells out to pycocoevalcap
+(Java METEOR, PTB tokenizer); this module implements the metrics directly
+in python so scoring runs anywhere:
+
+- BLEU-1..4: corpus-level, closest-reference length brevity penalty
+  (the COCO/pycocoevalcap convention);
+- ROUGE-L: LCS F-measure with beta=1.2, max over references, mean over
+  samples (COCO convention);
+- CIDEr: tf-idf weighted n-gram cosine (n=1..4) with length gaussian
+  penalty (sigma=6), df from the gt corpus;
+- METEOR: approximate python implementation (exact-match alignment,
+  harmonic mean alpha=0.9, fragmentation penalty gamma=0.5 beta=3) — the
+  reference's Java METEOR 1.5 has synonym/stem modules this lacks; values
+  are close but not identical, flagged in the output key.
+"""
+
+import collections
+import math
+import re
+
+# --- VQA answer normalization (qa_helper.py:101-186 semantics) ---
+
+_CONTRACTIONS = {
+    "aint": "ain't", "arent": "aren't", "cant": "can't", "couldve": "could've",
+    "couldnt": "couldn't", "didnt": "didn't", "doesnt": "doesn't", "dont": "don't",
+    "hadnt": "hadn't", "hasnt": "hasn't", "havent": "haven't", "hed": "he'd",
+    "hes": "he's", "howd": "how'd", "howll": "how'll", "hows": "how's",
+    "im": "i'm", "ive": "i've", "isnt": "isn't", "itd": "it'd", "itll": "it'll",
+    "lets": "let's", "maam": "ma'am", "mightve": "might've", "mustve": "must've",
+    "shant": "shan't", "shed": "she'd", "shes": "she's", "shouldve": "should've",
+    "shouldnt": "shouldn't", "somebodyd": "somebody'd", "somebodyll": "somebody'll",
+    "somebodys": "somebody's", "someoned": "someone'd", "someonell": "someone'll",
+    "someones": "someone's", "somethingd": "something'd", "somethingll": "something'll",
+    "thats": "that's", "thered": "there'd", "therere": "there're", "theres": "there's",
+    "theyd": "they'd", "theyll": "they'll", "theyre": "they're", "theyve": "they've",
+    "twas": "'twas", "wasnt": "wasn't", "wed": "we'd", "weve": "we've",
+    "werent": "weren't", "whatll": "what'll", "whatre": "what're", "whats": "what's",
+    "whatve": "what've", "whens": "when's", "whered": "where'd", "wheres": "where's",
+    "whereve": "where've", "whod": "who'd", "wholl": "who'll", "whos": "who's",
+    "whove": "who've", "whyll": "why'll", "whyre": "why're", "whys": "why's",
+    "wont": "won't", "wouldve": "would've", "wouldnt": "wouldn't", "yall": "y'all",
+    "youd": "you'd", "youll": "you'll", "youre": "you're", "youve": "you've",
+}
+_DIGIT_MAP = {"none": "0", "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+              "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9", "ten": "10"}
+_ARTICLES = {"a", "an", "the"}
+_PUNCT = [";", r"/", "[", "]", '"', "{", "}", "(", ")", "=", "+", "\\", "_", "-",
+          ">", "<", "@", "`", ",", "?", "!"]
+_COMMA_STRIP = re.compile(r"(\d)(,)(\d)")
+_PERIOD_STRIP = re.compile(r"(?!<=\d)(\.)(?!\d)")
+
+
+def process_punctuation(text):
+    out = text
+    for p in _PUNCT:
+        if (p + " " in text or " " + p in text) or (_COMMA_STRIP.search(text) is not None):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    out = _PERIOD_STRIP.sub("", out, re.UNICODE)
+    return out
+
+
+def process_digit_article(text):
+    out = []
+    for word in text.lower().split():
+        word = _DIGIT_MAP.get(word, word)
+        if word not in _ARTICLES:
+            out.append(word)
+    for i, word in enumerate(out):
+        if word in _CONTRACTIONS:
+            out[i] = _CONTRACTIONS[word]
+    return " ".join(out)
+
+
+def prep_ans(answer):
+    """``qa_helper.prep_ans``: punctuation + digit/article + comma strip."""
+    answer = process_digit_article(process_punctuation(answer))
+    return answer.replace(",", "")
+
+
+# --- EM metrics ---
+
+def exact_match(preds_top10, golds):
+    """preds_top10: {qid: [ans,...] (ranked)}; golds: {qid: [gold answers]}.
+    Returns (EM@1, EM@10)."""
+    em1 = em10 = n = 0
+    for qid, top in preds_top10.items():
+        gold = set(golds[qid])
+        n += 1
+        if top and top[0] in gold:
+            em1 += 1
+        if any(t in gold for t in top[:10]):
+            em10 += 1
+    return em1 / max(n, 1), em10 / max(n, 1)
+
+
+# --- n-gram helpers ---
+
+def _ngrams(tokens, n):
+    return collections.Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
+
+
+def _tok(s):
+    return s.split()
+
+
+# --- BLEU (corpus-level, COCO convention) ---
+
+def bleu(gts, res, max_n: int = 4):
+    """gts: {qid: [ref strings]}, res: {qid: [hypothesis string]}.
+    Returns list of BLEU-1..max_n."""
+    tot_match = [0] * max_n
+    tot_count = [0] * max_n
+    hyp_len = ref_len = 0
+    for qid in res:
+        hyp = _tok(res[qid][0])
+        refs = [_tok(r) for r in gts[qid]]
+        hyp_len += len(hyp)
+        # closest reference length
+        ref_len += min((abs(len(r) - len(hyp)), len(r)) for r in refs)[1]
+        for n in range(1, max_n + 1):
+            hyp_ng = _ngrams(hyp, n)
+            max_ref = collections.Counter()
+            for r in refs:
+                for ng, c in _ngrams(r, n).items():
+                    max_ref[ng] = max(max_ref[ng], c)
+            tot_match[n - 1] += sum(min(c, max_ref[ng]) for ng, c in hyp_ng.items())
+            tot_count[n - 1] += max(sum(hyp_ng.values()), 0)
+    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
+    out = []
+    log_sum = 0.0
+    for n in range(max_n):
+        p = tot_match[n] / tot_count[n] if tot_count[n] else 0.0
+        # COCO uses a tiny epsilon instead of zeroing out higher orders
+        log_sum += math.log(max(p, 1e-12))
+        out.append(bp * math.exp(log_sum / (n + 1)))
+    return out
+
+
+# --- ROUGE-L ---
+
+def _lcs(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = dp[i - 1][j - 1] + 1 if a[i - 1] == b[j - 1] else max(dp[i - 1][j], dp[i][j - 1])
+    return dp[-1][-1]
+
+
+def rouge_l(gts, res, beta: float = 1.2):
+    scores = []
+    for qid in res:
+        hyp = _tok(res[qid][0])
+        best = 0.0
+        for ref_s in gts[qid]:
+            ref = _tok(ref_s)
+            lcs = _lcs(hyp, ref)
+            if lcs == 0:
+                continue
+            prec = lcs / len(hyp) if hyp else 0
+            rec = lcs / len(ref) if ref else 0
+            score = ((1 + beta**2) * prec * rec) / (rec + beta**2 * prec) if prec and rec else 0.0
+            best = max(best, score)
+        scores.append(best)
+    return sum(scores) / max(len(scores), 1)
+
+
+# --- CIDEr ---
+
+def cider(gts, res, max_n: int = 4, sigma: float = 6.0):
+    # document frequency over gt corpus
+    df = collections.Counter()
+    for qid in gts:
+        seen = set()
+        for ref_s in gts[qid]:
+            for n in range(1, max_n + 1):
+                seen |= set(_ngrams(_tok(ref_s), n).keys())
+        for ng in seen:
+            df[ng] += 1
+    log_num_docs = math.log(max(len(gts), 1))
+
+    def tfidf_vec(tokens):
+        vecs = []
+        for n in range(1, max_n + 1):
+            counts = _ngrams(tokens, n)
+            total = max(sum(counts.values()), 1)
+            vec = {}
+            for ng, c in counts.items():
+                idf = log_num_docs - math.log(max(df.get(ng, 0), 1.0))
+                vec[ng] = (c / total) * idf
+            vecs.append(vec)
+        return vecs
+
+    def sim(v1, v2, len1, len2):
+        total = 0.0
+        for n in range(max_n):
+            num = sum(v1[n].get(ng, 0) * v2[n][ng] for ng in v2[n])
+            norm1 = math.sqrt(sum(x * x for x in v1[n].values()))
+            norm2 = math.sqrt(sum(x * x for x in v2[n].values()))
+            s = num / (norm1 * norm2) if norm1 and norm2 else 0.0
+            s *= math.exp(-((len1 - len2) ** 2) / (2 * sigma**2))
+            total += s
+        return total / max_n
+
+    scores = []
+    for qid in res:
+        hyp = _tok(res[qid][0])
+        hv = tfidf_vec(hyp)
+        s = 0.0
+        for ref_s in gts[qid]:
+            ref = _tok(ref_s)
+            s += sim(hv, tfidf_vec(ref), len(hyp), len(ref))
+        scores.append(10.0 * s / max(len(gts[qid]), 1))
+    return sum(scores) / max(len(scores), 1)
+
+
+# --- approximate METEOR ---
+
+def meteor_approx(gts, res, alpha: float = 0.9, beta_frag: float = 3.0, gamma: float = 0.5):
+    scores = []
+    for qid in res:
+        hyp = _tok(res[qid][0])
+        best = 0.0
+        for ref_s in gts[qid]:
+            ref = _tok(ref_s)
+            # greedy exact alignment
+            matched_h, matched_r = [], set()
+            for i, h in enumerate(hyp):
+                for j, r in enumerate(ref):
+                    if j not in matched_r and h == r:
+                        matched_h.append((i, j))
+                        matched_r.add(j)
+                        break
+            m = len(matched_h)
+            if m == 0:
+                continue
+            prec = m / len(hyp)
+            rec = m / len(ref)
+            fmean = prec * rec / (alpha * prec + (1 - alpha) * rec)
+            # fragmentation: count chunks of contiguous alignments
+            chunks = 1
+            for (i1, j1), (i2, j2) in zip(matched_h, matched_h[1:]):
+                if i2 != i1 + 1 or j2 != j1 + 1:
+                    chunks += 1
+            frag = chunks / m
+            best = max(best, fmean * (1 - gamma * frag**beta_frag))
+        scores.append(best)
+    return sum(scores) / max(len(scores), 1)
+
+
+# --- question-type breakdown (score.py:128-148) ---
+
+QT = ["Place", "Number", "Color", "Object nature", "Object", "Other"]
+
+
+def qclass1(question: str) -> str:
+    if "Where" in question:
+        return "Place"
+    if "How many" in question:
+        return "Number"
+    if "What color" in question or "What is the color" in question:
+        return "Color"
+    if "What shape" in question or "What type" in question or "What kind" in question:
+        return "Object nature"
+    if "What is" in question:
+        return "Object"
+    return "Other"
+
+
+def score_predictions(preds, gold_records):
+    """Full scoring surface of ``scripts/score.py``.
+
+    preds: {qid: {'answer_top10': [...], 'question': str}}
+    gold_records: list of {'question_id', 'answers', 'question'}.
+    Returns dict of metrics (percentages like the reference prints).
+    """
+    golds = {str(r["question_id"]): r["answers"] for r in gold_records}
+    top10 = {qid: p["answer_top10"] for qid, p in preds.items() if qid in golds}
+    em1, em10 = exact_match(top10, golds)
+
+    gts = {qid: golds[qid] for qid in top10}
+    res = {qid: [top10[qid][0]] for qid in top10}
+    bleus = bleu(gts, res)
+    out = {
+        "EM@1": em1 * 100,
+        "EM@10": em10 * 100,
+        "BLEU-1": bleus[0] * 100,
+        "BLEU-2": bleus[1] * 100,
+        "BLEU-3": bleus[2] * 100,
+        "BLEU-4": bleus[3] * 100,
+        "ROUGE-L": rouge_l(gts, res) * 100,
+        "METEOR(approx)": meteor_approx(gts, res) * 100,
+        "CIDEr": cider(gts, res) * 100,
+    }
+    # per question-type EM@1
+    by_type = collections.defaultdict(list)
+    gold_by_qid = {str(r["question_id"]): r for r in gold_records}
+    for qid in top10:
+        q = gold_by_qid[qid].get("question", "")
+        hit = 1.0 if top10[qid] and top10[qid][0] in set(golds[qid]) else 0.0
+        by_type[qclass1(q)].append(hit)
+    for t in QT:
+        if by_type[t]:
+            out[f"EM@1 {t}"] = 100 * sum(by_type[t]) / len(by_type[t])
+    return out

@@ -1,0 +1,144 @@
+"""Eval-layer tests: AP calculator, QA metrics, scoring."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
+from bridgeqa_tpu.eval.detection_eval import APCalculator, eval_det, voc_ap
+from bridgeqa_tpu.eval.scoring import (
+    bleu,
+    cider,
+    exact_match,
+    prep_ans,
+    qclass1,
+    rouge_l,
+    score_predictions,
+)
+
+DC = ScannetDatasetConfig()
+
+
+def box(center, size):
+    c, s = np.asarray(center, float), np.asarray(size, float) / 2
+    signs = np.array([[1, 1, 1], [1, -1, 1], [-1, -1, 1], [-1, 1, 1],
+                      [1, 1, -1], [1, -1, -1], [-1, -1, -1], [-1, 1, -1]])
+    return c + signs * s
+
+
+class TestAP:
+    def test_perfect_detection(self):
+        calc = APCalculator(ap_iou_thresh=0.25)
+        gt = [[(0, box([0, 0, 0], [1, 1, 1])), (1, box([3, 3, 0], [1, 1, 1]))]]
+        pred = [[(0, box([0, 0, 0], [1, 1, 1]), 0.9), (1, box([3, 3, 0], [1, 1, 1]), 0.8)]]
+        calc.step(pred, gt)
+        m = calc.compute_metrics()
+        assert m["mAP"] == pytest.approx(1.0)
+        assert m["AR"] == pytest.approx(1.0)
+
+    def test_false_positive_lowers_precision(self):
+        calc = APCalculator(0.25)
+        gt = [[(0, box([0, 0, 0], [1, 1, 1]))]]
+        pred = [[(0, box([0, 0, 0], [1, 1, 1]), 0.5), (0, box([10, 10, 0], [1, 1, 1]), 0.9)]]
+        calc.step(pred, gt)
+        m = calc.compute_metrics()
+        assert 0 < m["mAP"] < 1.0
+
+    def test_duplicate_detection_is_fp(self):
+        rec, prec, ap = eval_det(
+            {0: [(0, box([0, 0, 0], [1, 1, 1]), 0.9), (0, box([0, 0, 0], [1, 1, 1]), 0.8)]},
+            {0: [(0, box([0, 0, 0], [1, 1, 1]))]},
+        )
+        assert ap[0] == pytest.approx(1.0)  # first matches; duplicate is FP after recall=1
+        assert prec[0][-1] == pytest.approx(0.5)
+
+    def test_voc_ap_monotone_envelope(self):
+        ap = voc_ap(np.array([0.5, 1.0]), np.array([1.0, 0.5]))
+        assert 0.5 < ap <= 1.0
+
+
+class TestScoring:
+    def test_prep_ans(self):
+        assert prep_ans("The Chair") == "chair"
+        assert prep_ans("three") == "3"
+        assert prep_ans("red, blue") == "red blue"
+
+    def test_exact_match(self):
+        em1, em10 = exact_match({"q1": ["red", "blue"], "q2": ["green"]},
+                                {"q1": ["blue"], "q2": ["green"]})
+        assert em1 == 0.5 and em10 == 1.0
+
+    def test_bleu_perfect(self):
+        gts = {"a": ["the red chair"]}
+        res = {"a": ["the red chair"]}
+        b = bleu(gts, res)
+        assert b[0] == pytest.approx(1.0)
+
+    def test_rouge_and_cider_ordering(self):
+        # CIDEr idf needs a multi-document corpus to be non-degenerate
+        gts = {"a": ["the red chair near the window"],
+               "b": ["a wooden desk"],
+               "c": ["two lamps on the ceiling"]}
+        good = {"a": ["the red chair near the window"], "b": ["a wooden desk"],
+                "c": ["two lamps on the ceiling"]}
+        bad = {"a": ["a blue table"], "b": ["something else"], "c": ["no idea"]}
+        assert rouge_l(gts, good) > rouge_l(gts, bad)
+        assert cider(gts, good) > cider(gts, bad)
+
+    def test_qclass(self):
+        assert qclass1("Where is the chair?") == "Place"
+        assert qclass1("How many chairs?") == "Number"
+        assert qclass1("What color is it?") == "Color"
+        assert qclass1("What is on the desk?") == "Object"
+
+    def test_score_predictions_end_to_end(self):
+        gold = [{"question_id": "q1", "answers": ["red"], "question": "What color is it?"},
+                {"question_id": "q2", "answers": ["chair"], "question": "What is near?"}]
+        preds = {"q1": {"answer_top10": ["red", "blue"]},
+                 "q2": {"answer_top10": ["table", "chair"]}}
+        out = score_predictions(preds, gold)
+        assert out["EM@1"] == 50.0
+        assert out["EM@10"] == 100.0
+        assert "BLEU-1" in out and "CIDEr" in out
+        assert out["EM@1 Color"] == 100.0
+
+
+class TestQAEval:
+    def test_get_eval_on_synthetic(self):
+        import jax
+        from bridgeqa_tpu.eval.qa_eval import get_eval
+
+        b, k, k2, a = 2, 8, 4, 10
+        rng = np.random.RandomState(0)
+        ep = {
+            "objectness_scores": jnp.asarray(rng.randn(b, k, 2), jnp.float32),
+            "objectness_label": jnp.asarray(rng.randint(0, 2, (b, k))),
+            "objectness_mask": jnp.ones((b, k), jnp.float32),
+            "object_assignment": jnp.asarray(rng.randint(0, k2, (b, k))),
+            "cluster_ref": jnp.asarray(rng.randn(b, k), jnp.float32),
+            "cluster_labels": jnp.asarray(np.eye(k)[rng.randint(0, k, b)], jnp.float32),
+            "ref_box_label": jnp.asarray(np.eye(k2)[rng.randint(0, k2, b)], jnp.int32),
+            "center": jnp.asarray(rng.rand(b, k, 3), jnp.float32),
+            "heading_scores": jnp.asarray(rng.randn(b, k, 1), jnp.float32),
+            "heading_residuals": jnp.zeros((b, k, 1), jnp.float32),
+            "size_scores": jnp.asarray(rng.randn(b, k, 18), jnp.float32),
+            "size_residuals": jnp.zeros((b, k, 18, 3), jnp.float32),
+            "center_label": jnp.asarray(rng.rand(b, k2, 3), jnp.float32),
+            "heading_class_label": jnp.zeros((b, k2), jnp.int32),
+            "heading_residual_label": jnp.zeros((b, k2), jnp.float32),
+            "size_class_label": jnp.zeros((b, k2), jnp.int32),
+            "size_residual_label": jnp.zeros((b, k2, 3), jnp.float32),
+            "sem_cls_label": jnp.zeros((b, k2), jnp.int32),
+            "sem_cls_scores": jnp.asarray(rng.randn(b, k, 18), jnp.float32),
+            "object_cat": jnp.zeros((b,), jnp.int32),
+            "lang_scores": jnp.asarray(rng.randn(b, 18), jnp.float32),
+            "answer_scores": jnp.asarray(rng.randn(b, a), jnp.float32),
+            "answer_cats": jnp.asarray(np.eye(a)[rng.randint(0, a, b)], jnp.float32),
+        }
+        out = get_eval(dict(ep), DC, use_lang_classifier=True)
+        for key in ("ref_acc_mean", "ref_iou_rate_0.25", "ref_iou_rate_0.5", "lang_acc",
+                    "answer_acc_at1", "answer_acc_at10", "obj_acc", "sem_acc"):
+            v = np.asarray(out[key])
+            assert np.isfinite(v).all(), key
+            assert (0 <= v).all() and (v <= 1).all(), key
+        assert out["ref_iou"].shape == (b,)
