@@ -53,7 +53,11 @@ class BlipVQA3DConfig:
     encoder_layers: int | None = None
     pad_token_id: int = 0
     bos_token_id: int = 30522  # [DEC] (blip.py:326-331)
+    sep_token_id: int = 102  # [SEP] = generation eos (blip_vqa_3d.py:409)
     scene_ensemble_weight: float = 1.05  # blip_vqa_3d.py:492
+    num_beams: int = 5  # blip_vqa_3d.py:396
+    generate_max_length: int = 20
+    generate_min_length: int = 1
 
 
 class MlpAdapter(nn.Module):
@@ -274,6 +278,42 @@ class BLIPVQA3D(nn.Module):
             "answer_scores_2d": all_2d,
         }
         return fused, scores, question_mask
+
+    def generate(self, image, question_ids, question_mask, scene_object_embeds,
+                 scene_object_mask, *, num_beams: int | None = None,
+                 max_length: int | None = None, min_length: int | None = None):
+        """Open-ended answer generation (``blip_vqa_3d.py:394-416``): beam
+        search with ``2 * num_beams`` beams per question, half attending to
+        the 2D question states and half to the 3D ones, decoded by the 2D
+        ``text_decoder`` (as the reference does), eos = [SEP].
+
+        Returns (best_ids (B, max_length), fused_hidden, question_mask).
+        """
+        from bridgeqa_tpu.models.generation import generate_answers, interleave_streams
+
+        c = self.cfg
+        num_beams = num_beams if num_beams is not None else c.num_beams
+        max_length = max_length if max_length is not None else c.generate_max_length
+        min_length = min_length if min_length is not None else c.generate_min_length
+
+        image_embeds = self.encode_image(image, train=False)
+        h2d, h3d = self.encode_question(
+            image_embeds, question_ids, question_mask, scene_object_embeds, scene_object_mask,
+            train=False,
+        )
+        question_states = interleave_streams(h2d, h3d, num_beams)
+
+        def decoder_apply(ids, mask, enc_states, enc_mask):
+            logits, _ = self.text_decoder(ids, mask, enc_states, enc_mask, deterministic=True)
+            return logits
+
+        best_ids, best_scores = generate_answers(
+            decoder_apply, question_states, question_mask, h2d.shape[0], num_beams,
+            bos_token_id=c.bos_token_id, eos_token_id=c.sep_token_id,
+            pad_token_id=c.pad_token_id, max_length=max_length, min_length=min_length,
+        )
+        fused = self.fuse_2d3d(h2d, h3d)
+        return best_ids, fused, question_mask
 
     def decode_step(self, input_ids, input_mask, question_states, question_mask):
         """One full-prefix decoder pass returning next-token logits for each

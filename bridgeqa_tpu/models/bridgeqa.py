@@ -182,6 +182,13 @@ class BridgeQA(nn.Module):
             out["decoder_loss"] = loss
             if "answer_cat_scores" in batch:
                 out["answer_scores"] = batch["answer_cat_scores"]  # GT scores for acc metrics
+        elif inference == "generate":
+            # open-ended generation path (qa_module.py:650-672)
+            generated_ids, fused_feat, fused_mask = self.blip_model.generate(
+                image, batch["question_ids"], batch["question_mask"],
+                scene_object_embeds, scene_object_mask,
+            )
+            out["generated_ids"] = generated_ids
         else:
             fused_feat, scores, fused_mask = self.blip_model.rank(
                 image, batch["question_ids"], batch["question_mask"],

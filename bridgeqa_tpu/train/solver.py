@@ -1,0 +1,194 @@
+"""Training orchestrator: epoch/iter loop, in-loop validation, best-ckpt.
+
+Equivalent of the reference ``lib/solver.py`` (``Solver.__call__``,
+288-757) redesigned TPU-first:
+
+- the entire forward/loss/backward/metric computation is ONE jitted XLA
+  program per step (``train.step.make_train_step``) — no per-iter host
+  round-trips, no per-scalar ``all_reduce`` storm (``solver.py:551-554``);
+  cross-device metric averaging falls out of sharded execution for free;
+- device metrics are fetched only at the logging interval, keeping the
+  host out of the hot loop so dispatch can run ahead;
+- validation every ``val_step`` iters (``solver.py:585-591``) with
+  best-checkpoint selection on ``cur_criterion`` (598-610);
+- Orbax checkpoints: best params, per-epoch last, resumable full state
+  (= model.pth / model_last.pth / checkpoint.tar, 659-695);
+- BN momentum schedule (0.5 -> x0.5 every ``bn_decay_step`` epochs,
+  clamped at ``bn_momentum_min`` — ``pytorch_utils.BNMomentumScheduler``);
+- ``KeyboardInterrupt`` checkpoints and exits cleanly (323-326).
+"""
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from bridgeqa_tpu.parallel import shard_batch
+from bridgeqa_tpu.train import checkpoints
+from bridgeqa_tpu.train.step import StepConfig, TrainState, make_eval_step, make_train_step
+from bridgeqa_tpu.utils.logging_utils import EpochETA, RunLogger, RunningMeans
+from bridgeqa_tpu.utils.profiling import PhaseTimer, maybe_trace
+
+ITER_REPORT = ("loss", "vote_loss", "objectness_loss", "box_loss", "sem_cls_loss",
+               "ref_loss", "lang_loss", "answer_loss")
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    epochs: int = 30
+    val_step: int = 2000            # in-loop val every N iters (0 = per-epoch only)
+    verbose_step: int = 50          # log running means every N iters
+    cur_criterion: str = "answer_acc_at1"
+    criterion_higher_better: bool = True
+    bn_momentum_init: float = 0.5
+    bn_decay_step: int = 20
+    bn_decay_rate: float = 0.5
+    bn_momentum_min: float = 0.001
+    k_test: int = 256
+    max_iters_per_epoch: int = 0    # 0 = full epoch (tests cap this)
+    trace_dir: str | None = None
+
+
+class Solver:
+    def __init__(self, model, dataset_config, tx, step_cfg: StepConfig, solver_cfg: SolverConfig,
+                 *, mesh=None, run_dir="runs/debug", logger: RunLogger | None = None,
+                 eval_metrics_fn: Callable[[dict, Any], dict] | None = None,
+                 extra_eval_inputs: dict | None = None):
+        """eval_metrics_fn(end_points, batch) -> scalar metrics dict for
+        validation (default: loss-only). extra_eval_inputs: arrays merged
+        into every eval batch (e.g. the tokenized answer list for ranking).
+        """
+        self.model = model
+        self.dataset_config = dataset_config
+        self.tx = tx
+        self.cfg = solver_cfg
+        self.mesh = mesh
+        self.run_dir = run_dir
+        self.log = logger or RunLogger(run_dir)
+        self.train_step = make_train_step(model, dataset_config, tx, step_cfg)
+        self.eval_step = make_eval_step(model, dataset_config, step_cfg, k_test=solver_cfg.k_test)
+        self.eval_metrics_fn = eval_metrics_fn
+        self.extra_eval_inputs = extra_eval_inputs or {}
+        self.best_criterion = -np.inf if solver_cfg.criterion_higher_better else np.inf
+        self.best_epoch = -1
+        self.global_iter = 0
+        self.timer = PhaseTimer()
+
+    # --- schedules ------------------------------------------------------
+    def bn_momentum(self, epoch: int) -> float:
+        c = self.cfg
+        m = c.bn_momentum_init * (c.bn_decay_rate ** (epoch // c.bn_decay_step))
+        return max(m, c.bn_momentum_min)
+
+    # --- main loop ------------------------------------------------------
+    def __call__(self, state: TrainState, train_loader, val_loader=None, *, rng=None,
+                 start_epoch: int = 0):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        try:
+            for epoch in range(start_epoch, self.cfg.epochs):
+                rng, epoch_rng = jax.random.split(rng)
+                state = self._train_epoch(state, train_loader, val_loader, epoch, epoch_rng)
+                checkpoints.save_params(self.run_dir, "model_last",
+                                        jax.device_get(state.params),
+                                        jax.device_get(state.batch_stats))
+                checkpoints.save_train_state(self.run_dir, state, epoch + 1)
+        except KeyboardInterrupt:
+            self.log.info("interrupted — saving resumable checkpoint")
+            checkpoints.save_train_state(self.run_dir, state, -1)
+            raise
+        return state
+
+    def _train_epoch(self, state, train_loader, val_loader, epoch, rng):
+        cfg = self.cfg
+        bn_m = self.bn_momentum(epoch)
+        n_iters = len(train_loader)
+        if cfg.max_iters_per_epoch:
+            n_iters = min(n_iters, cfg.max_iters_per_epoch)
+        eta = EpochETA(n_iters)
+        means = RunningMeans()
+        pending = []  # device metric dicts fetched lazily at the log interval
+        self.log.info(f"epoch {epoch + 1}/{cfg.epochs} start (bn_momentum={bn_m:.4f}, "
+                      f"{n_iters} iters)")
+
+        it = iter(train_loader)
+        for i in range(n_iters):
+            with self.timer.phase("fetch"):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    break
+                batch = self._device_batch(batch)
+            rng, step_rng = jax.random.split(rng)
+            with self.timer.phase("step"):
+                with maybe_trace(cfg.trace_dir, step=self.global_iter):
+                    state, metrics = self.train_step(state, batch, step_rng, bn_m)
+            pending.append(metrics)
+            eta.tick()
+            self.global_iter += 1
+
+            if (i + 1) % cfg.verbose_step == 0 or i + 1 == n_iters:
+                for m in jax.device_get(pending):
+                    means.update(m)
+                pending.clear()
+                phase_means = self.timer.means()
+                self.log.info(
+                    f"e{epoch + 1} it{i + 1}/{n_iters} | {means.format(ITER_REPORT)} | "
+                    + ", ".join(f"{k} {v * 1e3:.0f}ms" for k, v in phase_means.items())
+                    + f" | eta {eta.format()}"
+                )
+                self.log.scalars(self.global_iter, "train", means.means())
+                means.reset()
+                self.timer.reset()
+
+            if val_loader is not None and cfg.val_step and self.global_iter % cfg.val_step == 0:
+                state = self._validate(state, val_loader, epoch)
+
+        if val_loader is not None:
+            state = self._validate(state, val_loader, epoch)
+        return state
+
+    # --- validation -----------------------------------------------------
+    def _validate(self, state, val_loader, epoch):
+        cfg = self.cfg
+        t0 = time.time()
+        agg = RunningMeans()
+        extra = {k: self._device_array(v) for k, v in self.extra_eval_inputs.items()}
+        for batch in val_loader:
+            host_batch = batch
+            batch = self._device_batch(batch)
+            batch.update(extra)
+            end_points = self.eval_step(state, batch)
+            scalars = {"loss": end_points["loss"]}
+            if self.eval_metrics_fn is not None:
+                scalars.update(self.eval_metrics_fn(end_points, host_batch))
+            agg.update(jax.device_get(scalars))
+        val_metrics = agg.means()
+        self.log.info(f"val @ epoch {epoch + 1}: {agg.format()}  ({time.time() - t0:.1f}s)")
+        self.log.scalars(self.global_iter, "val", val_metrics)
+
+        crit = val_metrics.get(cfg.cur_criterion, -val_metrics.get("loss", np.inf))
+        better = crit > self.best_criterion if cfg.criterion_higher_better else crit < self.best_criterion
+        if better:
+            self.best_criterion = crit
+            self.best_epoch = epoch
+            self.log.info(f"new best {cfg.cur_criterion}={crit:.4f} — saving model")
+            checkpoints.save_params(self.run_dir, "model",
+                                    jax.device_get(state.params),
+                                    jax.device_get(state.batch_stats))
+        return state
+
+    # --- helpers --------------------------------------------------------
+    def _device_batch(self, batch):
+        arrays = {k: v for k, v in batch.items() if not isinstance(v, (list, str))}
+        if self.mesh is not None:
+            return shard_batch(arrays, self.mesh)
+        return {k: jax.device_put(np.asarray(v)) for k, v in arrays.items()}
+
+    def _device_array(self, v):
+        if self.mesh is not None:
+            from bridgeqa_tpu.parallel import replicated_sharding
+
+            return jax.device_put(np.asarray(v), replicated_sharding(self.mesh))
+        return jax.device_put(np.asarray(v))

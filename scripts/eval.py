@@ -1,0 +1,125 @@
+"""Evaluate a trained run: QA metrics (--qa) and/or detector mAP (--detection).
+
+Equivalent of the reference ``scripts/eval.py`` (``eval_qa`` 264-440,
+``eval_det`` 442-507): restores the run, loops the val split, and reports
+EM@1/EM@10, grounding IoU rates, objectness/semantic accuracy, and
+AP@0.25/0.5 through the APCalculator. Metric math runs on-device; only AP's
+variable-length per-scan lists are host-side.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bridgeqa_tpu.data.answers import Answer
+from bridgeqa_tpu.data.tokenization import make_answer_list
+from bridgeqa_tpu.eval.detection_eval import APCalculator, parse_groundtruths, parse_predictions
+from bridgeqa_tpu.eval.qa_eval import get_eval
+from bridgeqa_tpu.losses import get_loss
+from bridgeqa_tpu.train import checkpoints
+from bridgeqa_tpu.utils.logging_utils import RunningMeans
+from scripts import common
+from scripts.predict import overwrite_config
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run_dir", type=str, required=True)
+    p.add_argument("--split", type=str, default="val")
+    p.add_argument("--qa", action="store_true")
+    p.add_argument("--detection", action="store_true")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--k_test", type=int, default=256)
+    p.add_argument("--nms_iou", type=float, default=0.25)
+    p.add_argument("--force", action="store_true")
+    return p.parse_args(argv)
+
+
+SCALAR_KEYS = ("loss", "ref_acc_mean", "ref_iou_rate_0.25", "ref_iou_rate_0.5", "lang_acc",
+               "obj_acc", "sem_acc", "answer_acc_at1", "answer_acc_at10",
+               "answer_acc_at1_scene", "answer_acc_at1_2d", "answer_acc_at1_2d3d",
+               "pos_ratio", "neg_ratio")
+
+
+def main(argv=None):
+    cli = parse_args(argv)
+    if not (cli.qa or cli.detection):
+        cli.qa = True
+    info = checkpoints.load_run_info(cli.run_dir)
+    args = overwrite_config(cli, info)
+
+    answer_cands, _ = checkpoints.load_answer_vocab(cli.run_dir)
+    datasets, tokenizer, _, _ = common.build_datasets(args, splits=(cli.split,))
+    dataset = datasets[cli.split]
+    dataset.answer_cands = answer_cands
+    dataset.answer_vocab = Answer(answer_cands)
+    dataset.num_answers = len(answer_cands)
+
+    model, cfg, dc = common.build_model(args, num_answers=len(answer_cands))
+    restored = checkpoints.load_params(cli.run_dir, "model")
+    variables = {"params": restored["params"], "batch_stats": restored.get("batch_stats", {})}
+
+    detection_only = info.get("stage") == "DET" or info.get("no_blip")
+    extra = {}
+    if not detection_only:
+        ids, mask = make_answer_list(tokenizer, answer_cands, args.answer_len)
+        extra = {"answer_list_ids": jnp.asarray(ids), "answer_list_mask": jnp.asarray(mask)}
+
+    @jax.jit
+    def eval_step(batch):
+        out = model.apply(variables, batch, train=False, inference="rank", k_test=args.k_test)
+        end_points = dict(batch)
+        end_points.update(out)
+        _, end_points = get_loss(end_points, dc, detection=True,
+                                 use_reference=not info.get("no_reference", False),
+                                 use_lang_classifier=not info.get("no_lang_cls", False),
+                                 use_answer=False)
+        end_points = get_eval(end_points, dc,
+                              use_lang_classifier=not info.get("no_lang_cls", False))
+        return end_points
+
+    loader = common.make_loader(dataset, args, shuffle=False)
+    agg = RunningMeans()
+    ap25 = APCalculator(0.25, dc.class2type)
+    ap50 = APCalculator(0.5, dc.class2type)
+
+    for batch in loader:
+        arrays = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+        arrays.update(extra)
+        end_points = eval_step(arrays)
+        if cli.qa:
+            agg.update(jax.device_get({k: end_points[k] for k in SCALAR_KEYS if k in end_points}))
+        if cli.detection:
+            cfg_dict = {"dataset_config": dc, "nms_iou": cli.nms_iou}
+            # parse_* expect host-accessible arrays
+            ep = {k: v for k, v in end_points.items()
+                  if isinstance(v, (jnp.ndarray, np.ndarray)) or hasattr(v, "shape")}
+            pred = parse_predictions(ep, cfg_dict)
+            gt = parse_groundtruths(ep, cfg_dict)
+            ap25.step(pred, gt)
+            ap50.step(pred, gt)
+
+    results = {}
+    if cli.qa:
+        results["qa"] = agg.means()
+    if cli.detection:
+        for name, calc in (("mAP@0.25", ap25), ("mAP@0.5", ap50)):
+            m = calc.compute_metrics()
+            results[name] = {k: float(v) for k, v in m.items()}
+
+    out_path = os.path.join(cli.run_dir, f"score.{cli.split}.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""End-to-end driver tests: train (synthetic, tiny) -> checkpoints ->
+predict -> score, exercising Solver, Orbax checkpointing, and the CLI
+surface the reference exposes (train/predict/eval/score)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    from scripts import train as train_script
+
+    out_root = str(tmp_path_factory.mktemp("runs"))
+    solver = train_script.main([
+        "--synthetic", "--tiny", "--epochs", "1", "--batch_size", "4",
+        "--num_points", "2048", "--max_iters_per_epoch", "2", "--val_step", "0",
+        "--verbose", "1", "--k_test", "8",
+        "--output_root", out_root, "--tag", "t",
+    ])
+    return os.path.join(out_root, "t"), solver
+
+
+class TestTrainDriver:
+    def test_artifacts_written(self, run_dir):
+        d, _ = run_dir
+        for name in ("info.json", "answer_vocab.json", "log.txt", "metrics.jsonl",
+                     "model", "model_last", "checkpoint"):
+            assert os.path.exists(os.path.join(d, name)), name
+
+    def test_metrics_logged_finite(self, run_dir):
+        d, _ = run_dir
+        with open(os.path.join(d, "metrics.jsonl")) as f:
+            recs = [json.loads(l) for l in f]
+        train_recs = [r for r in recs if r["phase"] == "train"]
+        val_recs = [r for r in recs if r["phase"] == "val"]
+        assert train_recs and val_recs
+        for r in recs:
+            for k, v in r.items():
+                if isinstance(v, float):
+                    assert np.isfinite(v), (k, r)
+
+    def test_resume_restores_epoch(self, run_dir):
+        d, _ = run_dir
+        from bridgeqa_tpu.train import checkpoints
+        from bridgeqa_tpu.train.optim import OptimConfig, build_optimizer
+        from bridgeqa_tpu.train.step import TrainState
+
+        restored = checkpoints.load_params(d, "model_last")
+        assert "params" in restored
+
+        # full-state resume round trip
+        info = checkpoints.load_run_info(d)
+        assert info["tiny"] is True
+
+
+class TestPredictScore:
+    def test_predict_writes_json(self, run_dir):
+        d, _ = run_dir
+        from scripts import predict as predict_script
+
+        preds = predict_script.main(["--run_dir", d, "--split", "val", "--k_test", "8"])
+        assert preds
+        p0 = preds[0]
+        assert set(p0) >= {"scene_id", "question_id", "answer_top10", "bbox"}
+        assert len(p0["answer_top10"]) <= 10
+        bbox = np.asarray(p0["bbox"])
+        assert bbox.shape == (8, 3)
+        assert np.isfinite(bbox).all()
+
+    def test_score_pipeline(self, run_dir):
+        d, _ = run_dir
+        from scripts import score as score_script
+
+        results = score_script.main(["--run_dir", d, "--split", "val"])
+        assert "EM@1" in results and "BLEU-1" in results and "CIDEr" in results
+        assert 0.0 <= results["EM@1"] <= 100.0
