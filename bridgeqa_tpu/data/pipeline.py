@@ -234,14 +234,13 @@ class ScanQADataset:
                 target_bboxes[:, 0:3] += factor
 
             # votes AFTER augmentation, from instance extents (dataset.py:496-510)
-            for i_instance in np.unique(instance_labels):
-                ind = np.where(instance_labels == i_instance)[0]
-                if semantic_labels[ind[0]] in self.dc.nyu40ids:
-                    x = point_cloud[ind, :3]
-                    center = 0.5 * (x.min(0) + x.max(0))
-                    point_votes[ind, :] = center - x
-                    point_votes_mask[ind] = 1.0
-            point_votes = np.tile(point_votes, (1, 3))
+            # — one-pass native kernel (numpy fallback inside)
+            from bridgeqa_tpu import native
+
+            sem_ok = np.isin(semantic_labels, self.dc.nyu40ids).astype(np.uint8)
+            point_votes, point_votes_mask = native.compute_votes(
+                point_cloud[:, :3], instance_labels.astype(np.int32), sem_ok
+            )
 
             class_ind = [self.dc.nyu40id2class[int(x)] for x in instance_bboxes[:num_bbox, -2]]
             size_classes[:num_bbox] = class_ind

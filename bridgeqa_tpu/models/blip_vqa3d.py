@@ -228,10 +228,11 @@ class BLIPVQA3D(nn.Module):
         input_atts = input_atts.reshape(num_ques * k, la)
         targets = jnp.where(input_ids == self.cfg.pad_token_id, IGNORE_INDEX, input_ids)
 
-        q_states = jnp.repeat(question_states, k, axis=0)
-        q_mask = jnp.repeat(question_mask, k, axis=0)
-
-        _, loss = decoder(input_ids, input_atts, q_states, q_mask, labels=targets, deterministic=True)
+        # question states stay at batch B: the decoder's grouped
+        # cross-attention projects each question's K/V once and shares them
+        # across its k candidate answers (med.BertSelfAttention group path)
+        _, loss = decoder(input_ids, input_atts, question_states, question_mask,
+                          labels=targets, deterministic=True)
         log_probs_sum = (-loss).reshape(num_ques, k)
         return topk_ids, log_probs_sum
 

@@ -82,16 +82,48 @@ class SharedMLP(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool, bn_momentum=0.1):
+    def __call__(self, x=None, *, planes=None, train: bool, bn_momentum=0.1):
+        """x: (..., Cin) channel-last input. Alternatively ``planes``: a
+        tuple of Cin arrays shaped (...,) — the input presented one channel
+        plane at a time. TPU layout note: a grouped-xyz tensor has Cin=3 in
+        the lane dimension (42x padding waste + a relayout to build it);
+        feeding the 3 coordinate planes directly lets layer 0 compute
+        ``sum_d planes[d] * kernel[d]`` with the output (lane dim = width)
+        born in a good layout and no (..., 3) tensor ever materialized.
+        Parameters are identical either way."""
         for i, width in enumerate(self.features):
-            x = nn.Dense(
-                width,
-                use_bias=not self.bn,
-                kernel_init=kaiming_normal,
-                dtype=self.dtype,
-                name=f"layer{i}",
-            )(x)
+            if i == 0 and planes is not None:
+                x = PlaneDense(width, use_bias=not self.bn, dtype=self.dtype,
+                               name="layer0")(planes)
+            else:
+                x = nn.Dense(
+                    width,
+                    use_bias=not self.bn,
+                    kernel_init=kaiming_normal,
+                    dtype=self.dtype,
+                    name=f"layer{i}",
+                )(x)
             if self.bn:
                 x = BatchNorm(width, dtype=self.dtype, name=f"bn{i}")(x, train=train, momentum=bn_momentum)
             x = nn.relu(x)
+        return x
+
+
+class PlaneDense(nn.Module):
+    """Dense over an input presented as per-channel planes. Parameter tree
+    (kernel (Cin, width)[, bias]) is identical to ``nn.Dense``, so a model
+    may init through either path and apply through the other."""
+
+    width: int
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, planes):
+        kernel = self.param("kernel", kaiming_normal, (len(planes), self.width), jnp.float32)
+        dt = self.dtype or planes[0].dtype
+        x = sum(p[..., None].astype(dt) * kernel[d].astype(dt) for d, p in enumerate(planes))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.width,), jnp.float32)
+            x = x + bias.astype(dt)
         return x

@@ -111,10 +111,28 @@ class BertSelfAttention(nn.Module):
         value = nn.Dense(h, kernel_init=normal_init, dtype=self.dtype, name="value")(kv_src)
 
         lk = kv_src.shape[1]
-        q = query.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
-        k = key.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
-        v = value.reshape(b, lk, nh, hd).transpose(0, 2, 1, 3)
+        kb = kv_src.shape[0]
+        k = key.reshape(kb, lk, nh, hd).transpose(0, 2, 1, 3)
+        v = value.reshape(kb, lk, nh, hd).transpose(0, 2, 1, 3)
 
+        if self.is_cross_attention and kb != b:
+            # grouped cross-attention: the query batch is g copies per
+            # encoder row (answer-ranking scores g answers against ONE
+            # question) — fold the group into the query length so K/V are
+            # projected once per question instead of per (question, answer)
+            # pair (~70% of the ranking decoder's FLOPs).
+            g = b // kb
+            q = query.reshape(kb, g * lq, nh, hd).transpose(0, 2, 1, 3)
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
+            if attention_bias is not None:  # (kb, 1, 1, lk) question padding bias
+                scores = scores + attention_bias.astype(scores.dtype)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+            probs_d = nn.Dropout(c.attention_probs_dropout_prob)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_d, v)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, h)
+            return ctx, probs
+
+        q = query.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
         if attention_bias is not None:
             scores = scores + attention_bias.astype(scores.dtype)

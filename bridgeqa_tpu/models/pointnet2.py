@@ -21,6 +21,7 @@ from bridgeqa_tpu.ops import (
     three_interpolate,
     three_nn,
 )
+from bridgeqa_tpu.ops.sampling import furthest_point_sample_with_xyz
 
 
 class PointnetSAModuleVotes(nn.Module):
@@ -51,26 +52,45 @@ class PointnetSAModuleVotes(nn.Module):
         """
         sigma = self.sigma if self.sigma is not None else (self.radius / 2 if self.radius else None)
 
+        import jax
+
+        from bridgeqa_tpu.ops.grouping import _ball_query_stripes
+
+        grouped = grouped_xyz = planes = None
         if self.npoint is not None:
             if inds is None:
-                inds = furthest_point_sample(xyz, self.npoint)
-            new_xyz = gather_points(xyz, inds)
-            grouped, grouped_xyz = query_and_group(
-                self.radius,
-                self.nsample,
-                xyz,
-                new_xyz,
-                features,
-                use_xyz=self.use_xyz,
-                normalize_xyz=self.normalize_xyz,
-                ret_grouped_xyz=True,
-            )
+                # fused kernel: indices + sampled coords in one pass
+                inds, new_xyz = furthest_point_sample_with_xyz(xyz, self.npoint)
+            else:
+                new_xyz = gather_points(xyz, inds)
+            # TPU fast path with no input features: the stripe kernel's
+            # rel-xyz feeds the MLP as coordinate PLANES — the (B, M, S, 3)
+            # tensor (lane dim 3: 42x pad waste + a relayout) is never
+            # materialized.
+            fast_planes = (features is None and self.use_xyz
+                           and jax.default_backend() == "tpu" and self.nsample % 2 == 0)
+            if fast_planes:
+                _, rel = _ball_query_stripes(self.radius, self.nsample, xyz, new_xyz)
+                if self.normalize_xyz:
+                    rel = tuple(p / self.radius for p in rel)
+                planes = rel
+            else:
+                grouped, grouped_xyz = query_and_group(
+                    self.radius,
+                    self.nsample,
+                    xyz,
+                    new_xyz,
+                    features,
+                    use_xyz=self.use_xyz,
+                    normalize_xyz=self.normalize_xyz,
+                    ret_grouped_xyz=True,
+                )
         else:
             new_xyz = None
             grouped, grouped_xyz = group_all(xyz, features, use_xyz=self.use_xyz, ret_grouped_xyz=True)
 
         new_features = SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype, name="mlp_module")(
-            grouped, train=train, bn_momentum=bn_momentum
+            grouped, planes=planes, train=train, bn_momentum=bn_momentum
         )  # (B, npoint, nsample, mlp[-1])
 
         if self.pooling == "max":
@@ -78,7 +98,11 @@ class PointnetSAModuleVotes(nn.Module):
         elif self.pooling == "avg":
             new_features = jnp.mean(new_features, axis=2)
         elif self.pooling == "rbf":
-            rbf = jnp.exp(-jnp.sum(grouped_xyz**2, axis=-1) / (sigma**2) / 2)  # (B, M, S)
+            if planes is not None:
+                d2 = sum(p * p for p in planes)  # (B, M, S)
+            else:
+                d2 = jnp.sum(grouped_xyz**2, axis=-1)
+            rbf = jnp.exp(-d2 / (sigma**2) / 2)
             new_features = jnp.sum(new_features * rbf[..., None], axis=2) / float(self.nsample)
         else:
             raise ValueError(f"unknown pooling {self.pooling}")

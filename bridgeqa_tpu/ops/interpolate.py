@@ -22,8 +22,16 @@ from jax import lax
 from bridgeqa_tpu.ops.grouping import pairwise_sqdist
 
 
-def three_nn(unknown: jax.Array, known: jax.Array) -> tuple[jax.Array, jax.Array]:
+def three_nn(unknown: jax.Array, known: jax.Array, *, block: int = 4096) -> tuple[jax.Array, jax.Array]:
     """3 nearest neighbors of each unknown point among the known points.
+
+    TPU note: implemented as 3 iterative min-extractions over a blocked
+    distance tile instead of ``lax.top_k`` — top_k lowers to a full stable
+    SORT of the (B, N, M) distance tensor on TPU (O(M log M) work and 2
+    HBM-resident sort buffers; at 40k x 2k shapes that is ~20 GB and an
+    OOM). Min+argmin passes are 3 linear sweeps and the (B, blk, M) tile
+    stays small. Ties resolve to the lowest index (argmin semantics), like
+    the CUDA strict-``<`` scan.
 
     Args:
       unknown: (B, N, 3).
@@ -34,10 +42,36 @@ def three_nn(unknown: jax.Array, known: jax.Array) -> tuple[jax.Array, jax.Array
         reference python wrapper), ascending.
       idx: (B, N, 3) int32 indices into M.
     """
-    d2 = pairwise_sqdist(unknown, known)  # (B, N, M)
-    neg_d2, idx = lax.top_k(-d2, 3)  # top_k tie-breaks to the lowest index
-    dist = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
-    return dist, idx.astype(jnp.int32)
+    b, n = unknown.shape[:2]
+    m = known.shape[1]
+
+    def min3(u_blk):  # (B, blk, 3) -> (B, blk, 3) dists + idx
+        d2 = pairwise_sqdist(u_blk, known)  # (B, blk, M)
+        col = lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+        dists, idxs = [], []
+        for _ in range(3):
+            i = jnp.argmin(d2, axis=-1)
+            d = jnp.take_along_axis(d2, i[..., None], axis=-1)[..., 0]
+            dists.append(d)
+            idxs.append(i.astype(jnp.int32))
+            # mask out the extracted min elementwise (a scatter here would
+            # serialize on TPU)
+            d2 = jnp.where(col == i[..., None], jnp.inf, d2)
+        return jnp.stack(dists, -1), jnp.stack(idxs, -1)
+
+    if n <= block:
+        d2_3, idx = min3(unknown)
+    else:
+        blk = block
+        pad = (-n) % blk
+        u = jnp.pad(unknown, ((0, 0), (0, pad), (0, 0))) if pad else unknown
+        u = jnp.moveaxis(u.reshape(b, -1, blk, 3), 1, 0)  # (nblk, B, blk, 3)
+        _, (d2_3, idx) = lax.scan(lambda c, ub: (None, min3(ub)), None, u)
+        d2_3 = jnp.moveaxis(d2_3, 0, 1).reshape(b, -1, 3)[:, :n]
+        idx = jnp.moveaxis(idx, 0, 1).reshape(b, -1, 3)[:, :n]
+
+    dist = jnp.sqrt(jnp.maximum(d2_3, 0.0))
+    return dist, idx
 
 
 def three_interpolate(points: jax.Array, idx: jax.Array, weight: jax.Array) -> jax.Array:
@@ -53,8 +87,9 @@ def three_interpolate(points: jax.Array, idx: jax.Array, weight: jax.Array) -> j
     Returns:
       (B, N, C).
     """
+    from bridgeqa_tpu.ops.gather import gather_rows_batched
+
     b, n, k = idx.shape
-    gathered = jnp.take_along_axis(
-        points, idx.reshape(b, n * k, 1).astype(jnp.int32), axis=1
-    ).reshape(b, n, k, points.shape[-1])
+    gathered = gather_rows_batched(points, idx.reshape(b, n * k)).reshape(
+        b, n, k, points.shape[-1])
     return jnp.sum(gathered * weight[..., None].astype(gathered.dtype), axis=2)
