@@ -199,6 +199,32 @@ class BLIPVQA3D(nn.Module):
         fused = self.fuse_2d3d(h2d, h3d)
         return loss, fused, question_mask
 
+    def classify(self, image, question_ids, question_mask, scene_object_embeds,
+                 scene_object_mask, *, train: bool = False):
+        """Classifier mode (``use_text_decoder=False``,
+        ``blip_vqa_3d.py:354-393``): the ``answer_cls`` head scores the full
+        answer vocabulary from the 2D and 3D CLS states; the heads are
+        averaged (optionally including ``answer_cls_2d3d`` on the fused
+        state when ``use_scene_classifier_2d3d``).
+
+        Returns (scores dict, fused_hidden, question_mask)."""
+        image_embeds = self.encode_image(image, train=train)
+        h2d, h3d = self.encode_question(
+            image_embeds, question_ids, question_mask, scene_object_embeds, scene_object_mask,
+            train=train,
+        )
+        score_2d = self.answer_cls(h2d[:, 0, :], deterministic=not train)
+        score_3d = self.answer_cls(h3d[:, 0, :], deterministic=not train)
+        fused = self.fuse_2d3d(h2d, h3d)
+        scores = {"answer_scores_2d": score_2d, "answer_scores_scene": score_3d}
+        if self.cfg.use_scene_classifier_2d3d:
+            score_2d3d = self.answer_cls_2d3d(fused[:, 0, :], deterministic=not train)
+            scores["answer_scores_2d3d"] = score_2d3d
+            scores["answer_scores"] = (score_2d + score_3d + score_2d3d) / 3.0
+        else:
+            scores["answer_scores"] = (score_2d + score_3d) / 2.0
+        return scores, fused, question_mask
+
     # ---- inference ----
 
     def _rank_with_decoder(self, decoder, question_states, question_mask,

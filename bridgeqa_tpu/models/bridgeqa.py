@@ -173,7 +173,15 @@ class BridgeQA(nn.Module):
 
         image = batch["images"][:, 0] if batch["images"].ndim == 5 else batch["images"]
 
-        if train:
+        if not c.use_text_decoder:
+            # classifier mode (blip_vqa_3d.py:354-393): answer_cls heads on
+            # the 2D/3D CLS states; same path for train and eval
+            scores, fused_feat, fused_mask = self.blip_model.classify(
+                image, batch["question_ids"], batch["question_mask"],
+                scene_object_embeds, scene_object_mask, train=train,
+            )
+            out.update(scores)
+        elif train:
             loss, fused_feat, fused_mask = self.blip_model(
                 image, batch["question_ids"], batch["question_mask"],
                 batch["answer_ids"], batch["answer_mask"],

@@ -48,6 +48,8 @@ def add_model_args(p: argparse.ArgumentParser):
 def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--data_root", type=str, default=None,
                    help="root with ScanQA jsons + scannet_data npys + frames")
+    p.add_argument("--dataset", type=str, default="scanqa", choices=["scanqa", "sqa"],
+                   help="QA benchmark: ScanQA or SQA3D (reference blip_utils.py:11-14)")
     p.add_argument("--i2tfile", type=str, default=None, help="question->view mapping")
     p.add_argument("--synthetic", action="store_true",
                    help="run on generated scenes (no ScanNet needed)")
@@ -109,11 +111,22 @@ def build_model(args, num_answers: int):
 
 # --- record loading -----------------------------------------------------
 
-def load_scanqa_records(data_root: str, split: str):
-    """ScanQA_v1.0_<split>.json — list of question records."""
-    path = os.path.join(data_root, "qa", f"ScanQA_v1.0_{split}.json")
-    with open(path) as f:
-        return json.load(f)
+def load_scanqa_records(data_root: str, split: str, dataset: str = "scanqa"):
+    """QA record loading. ScanQA: ``ScanQA_v1.0_<split>.json``; SQA3D uses
+    the ScanQA-converted jsons (``SQA_train_scanqa.json`` / ``SQA_val.json``
+    / ``SQA_test.json``, reference ``utils/blip_utils.py:11-14``). SQA
+    records carrying a separate ``situation`` field get it prepended to the
+    question (the converted files ship them pre-merged)."""
+    if dataset == "sqa":
+        name = "SQA_train_scanqa.json" if split == "train" else f"SQA_{split}.json"
+    else:
+        name = f"ScanQA_v1.0_{split}.json"
+    with open(os.path.join(data_root, "qa", name)) as f:
+        records = json.load(f)
+    for rec in records:
+        if rec.get("situation") and rec["situation"] not in rec["question"]:
+            rec["question"] = f"{rec['situation']} {rec['question']}"
+    return records
 
 
 def make_scene_loader(data_root: str):
@@ -218,7 +231,7 @@ def build_datasets(args, *, splits=("train", "val")):
 
         tokenizer = WordPieceTokenizer.from_vocab_file(os.path.join(args.data_root, "vocab.txt"))
         scene_data = make_scene_loader(args.data_root)
-        records = {s: load_scanqa_records(args.data_root, s) for s in splits}
+        records = {s: load_scanqa_records(args.data_root, s, getattr(args, "dataset", "scanqa")) for s in splits}
 
     train_recs = records.get("train", [])
     val_recs = records.get("val", records.get(splits[0], []))

@@ -123,7 +123,7 @@ def main(argv=None):
     else:
         records = []
         for s in args.split:
-            records += common.load_scanqa_records(args.data_root, s)
+            records += common.load_scanqa_records(args.data_root, s, getattr(args, "dataset", "scanqa"))
         from bridgeqa_tpu.data.tokenization import WordPieceTokenizer
 
         tokenizer = WordPieceTokenizer.from_vocab_file(os.path.join(args.data_root, "vocab.txt"))

@@ -110,3 +110,34 @@ class TestMcanPath:
         assert out["cluster_ref"].shape == (2, 32)
         for k in ("answer_scores", "lang_scores", "cluster_ref", "fuse_feat"):
             assert jnp.isfinite(out[k]).all(), k
+
+
+class TestClassifierMode:
+    """use_text_decoder=False: answer_cls heads instead of LM decoders
+    (``blip_vqa_3d.py:354-393``)."""
+
+    def test_train_and_eval_scores(self, batch):
+        cfg = tiny_cfg(use_text_decoder=False)
+        model = BridgeQA(cfg, mean_size_arr=CFG_DATA.mean_size_arr)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            batch, train=True,
+        )
+        out, _ = model.apply(variables, batch, train=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+        assert out["answer_scores"].shape == (2, 30)
+        assert "answer_scores_scene" in out and "answer_scores_2d" in out
+        assert "decoder_loss" not in out
+
+        end_points = dict(batch)
+        end_points.update(out)
+        loss, ep = get_loss(end_points, CFG_DATA, detection=True, use_reference=True,
+                            use_lang_classifier=True, use_answer=True)
+        assert np.isfinite(float(loss))
+        assert float(ep["answer_loss"]) > 0
+
+        out_eval = model.apply(variables, batch, train=False)
+        scores = np.asarray(out_eval["answer_scores"])
+        expect = (np.asarray(out_eval["answer_scores_2d"])
+                  + np.asarray(out_eval["answer_scores_scene"])) / 2.0
+        np.testing.assert_allclose(scores, expect, rtol=1e-5)
