@@ -58,6 +58,7 @@ class BlipVQA3DConfig:
     num_beams: int = 5  # blip_vqa_3d.py:396
     generate_max_length: int = 20
     generate_min_length: int = 1
+    remat: bool = False  # rematerialize ViT blocks + BERT layers (training memory)
 
 
 class MlpAdapter(nn.Module):
@@ -105,10 +106,12 @@ class BLIPVQA3D(nn.Module):
         med = c.med
         if c.encoder_layers is not None:
             med = dataclasses.replace(med, num_hidden_layers=c.encoder_layers)
+        if c.remat:
+            med = dataclasses.replace(med, remat=True)
         self.visual_encoder, vision_width = create_vit(
             c.vit, c.image_size, drop_path_rate=c.vit_drop_path_rate, dtype=self.dtype,
             custom_embed_dim=c.vit_custom_embed_dim, custom_depth=c.vit_custom_depth,
-            custom_heads=c.vit_custom_heads,
+            custom_heads=c.vit_custom_heads, remat=c.remat,
         )
         if vision_width != med.hidden_size:
             raise ValueError(

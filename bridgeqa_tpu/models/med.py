@@ -50,6 +50,7 @@ class MedConfig:
     encoder_width: int = 768
     pad_token_id: int = 0
     add_cross_attention: bool = True
+    remat: bool = False  # rematerialize each layer (training memory)
 
     @property
     def twin_layers(self):
@@ -186,7 +187,7 @@ class BertLayer(nn.Module):
         self.output_dropout = nn.Dropout(c.hidden_dropout_prob)
 
     def __call__(self, hidden_states, attention_bias=None, encoder_hidden_states=None,
-                 encoder_attention_bias=None, *, deterministic: bool, multimodal: bool = True):
+                 encoder_attention_bias=None, deterministic: bool = True, multimodal: bool = True):
         attention_output, self_probs = self.attention(hidden_states, attention_bias, deterministic=deterministic)
         cross_probs = None
         if multimodal and encoder_hidden_states is not None:
@@ -199,12 +200,20 @@ class BertLayer(nn.Module):
         return layer_output, self_probs, cross_probs
 
 
+def _layer_cls(config: MedConfig):
+    """BertLayer, optionally remat-wrapped (deterministic/multimodal static)."""
+    if config.remat:
+        return nn.remat(BertLayer, static_argnums=(5, 6))
+    return BertLayer
+
+
 class BertEncoder(nn.Module):
     config: MedConfig
     dtype: jnp.dtype | None = None
 
     def setup(self):
-        self.layer = [BertLayer(self.config, dtype=self.dtype, name=f"layer_{i}")
+        cls = _layer_cls(self.config)
+        self.layer = [cls(self.config, dtype=self.dtype, name=f"layer_{i}")
                       for i in range(self.config.num_hidden_layers)]
 
     def __call__(self, hidden_states, attention_bias=None, encoder_hidden_states=None,
@@ -212,7 +221,7 @@ class BertEncoder(nn.Module):
         for layer in self.layer:
             hidden_states, _, _ = layer(
                 hidden_states, attention_bias, encoder_hidden_states, encoder_attention_bias,
-                deterministic=deterministic, multimodal=multimodal,
+                deterministic, multimodal,
             )
         return hidden_states
 
@@ -229,9 +238,10 @@ class BertEncoderTwin(nn.Module):
     dtype: jnp.dtype | None = None
 
     def setup(self):
-        self.layer = [BertLayer(self.config, dtype=self.dtype, name=f"layer_{i}")
+        cls = _layer_cls(self.config)
+        self.layer = [cls(self.config, dtype=self.dtype, name=f"layer_{i}")
                       for i in range(self.config.num_hidden_layers)]
-        self.layer_twin = [BertLayer(self.config, dtype=self.dtype, name=f"layer_twin_{i}")
+        self.layer_twin = [cls(self.config, dtype=self.dtype, name=f"layer_twin_{i}")
                            for i in range(self.config.twin_layers)]
 
     def __call__(self, hidden_states, attention_bias, encoder_hidden_states, encoder_attention_bias,
@@ -247,12 +257,12 @@ class BertEncoderTwin(nn.Module):
 
             new_hidden, self_p, cross_p = layer(
                 hidden_states, attention_bias, cross_mix, encoder_attention_bias,
-                deterministic=deterministic,
+                deterministic, True,
             )
             if layer_twin is not None:
                 new_twin, self_pt, cross_pt = layer_twin(
                     hidden_twin, attention_bias, cross_mix_twin, encoder_attention_bias_twin,
-                    deterministic=deterministic,
+                    deterministic, True,
                 )
                 hidden_twin = new_twin
             else:

@@ -91,7 +91,7 @@ class Block(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool):
+    def __call__(self, x, deterministic: bool = True):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         y = Attention(self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
                       dtype=self.dtype, name="attn")(y, deterministic=deterministic)
@@ -116,6 +116,7 @@ class VisionTransformer(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    remat: bool = False  # rematerialize each block's activations (training memory)
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -143,31 +144,37 @@ class VisionTransformer(nn.Module):
 
         # per-layer stochastic-depth rates (python-static, safe under jit)
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
+        # jax.checkpoint per block trades recompute for activation memory
+        # (reference used fairscale checkpoint_wrapper, vit.py:180-190)
+        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         for i in range(self.depth):
-            x = Block(
+            x = block_cls(
                 self.embed_dim, self.num_heads, self.mlp_ratio, self.qkv_bias,
                 self.drop_rate, self.attn_drop_rate, dpr[i], dtype=self.dtype, name=f"blocks_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
 
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
 
 
 def create_vit(vit: str, image_size: int, drop_path_rate: float = 0.0, dtype=None,
-               custom_embed_dim: int = 256, custom_depth: int = 2, custom_heads: int = 4):
+               custom_embed_dim: int = 256, custom_depth: int = 2, custom_heads: int = 4,
+               remat: bool = False):
     """``create_vit`` (``models/blip.py:334-363``): base=768/12, large=1024/24.
     ``vit='custom'`` builds an arbitrary-size ViT (tests / ablations)."""
     if vit == "custom":
         model = VisionTransformer(img_size=image_size, patch_size=16, embed_dim=custom_embed_dim,
                                   depth=custom_depth, num_heads=custom_heads,
-                                  drop_path_rate=drop_path_rate, dtype=dtype)
+                                  drop_path_rate=drop_path_rate, remat=remat, dtype=dtype)
         return model, custom_embed_dim
     if vit == "base":
         model = VisionTransformer(img_size=image_size, patch_size=16, embed_dim=768, depth=12,
-                                  num_heads=12, drop_path_rate=drop_path_rate, dtype=dtype)
+                                  num_heads=12, drop_path_rate=drop_path_rate, remat=remat,
+                                  dtype=dtype)
         width = 768
     elif vit == "large":
         model = VisionTransformer(img_size=image_size, patch_size=16, embed_dim=1024, depth=24,
-                                  num_heads=16, drop_path_rate=drop_path_rate, dtype=dtype)
+                                  num_heads=16, drop_path_rate=drop_path_rate, remat=remat,
+                                  dtype=dtype)
         width = 1024
     else:
         raise ValueError(f"unknown vit size {vit}")

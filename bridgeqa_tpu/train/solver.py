@@ -55,10 +55,15 @@ class Solver:
     def __init__(self, model, dataset_config, tx, step_cfg: StepConfig, solver_cfg: SolverConfig,
                  *, mesh=None, run_dir="runs/debug", logger: RunLogger | None = None,
                  eval_metrics_fn: Callable[[dict, Any], dict] | None = None,
-                 extra_eval_inputs: dict | None = None):
+                 extra_eval_inputs: dict | None = None,
+                 predictions_fn: Callable[[dict, Any], list] | None = None):
         """eval_metrics_fn(end_points, batch) -> scalar metrics dict for
         validation (default: loss-only). extra_eval_inputs: arrays merged
         into every eval batch (e.g. the tokenized answer list for ranking).
+        predictions_fn(end_points, host_batch) -> list of per-sample dicts;
+        collected each validation pass and dumped to ``predictions.csv`` when
+        the criterion improves (the reference's best-val CSV,
+        ``solver.py:623-656``).
         """
         self.model = model
         self.dataset_config = dataset_config
@@ -71,6 +76,7 @@ class Solver:
         self.eval_step = make_eval_step(model, dataset_config, step_cfg, k_test=solver_cfg.k_test)
         self.eval_metrics_fn = eval_metrics_fn
         self.extra_eval_inputs = extra_eval_inputs or {}
+        self.predictions_fn = predictions_fn
         self.best_criterion = -np.inf if solver_cfg.criterion_higher_better else np.inf
         self.best_epoch = -1
         self.global_iter = 0
@@ -154,6 +160,7 @@ class Solver:
         cfg = self.cfg
         t0 = time.time()
         agg = RunningMeans()
+        preds = []
         extra = {k: self._device_array(v) for k, v in self.extra_eval_inputs.items()}
         for batch in val_loader:
             host_batch = batch
@@ -164,6 +171,8 @@ class Solver:
             if self.eval_metrics_fn is not None:
                 scalars.update(self.eval_metrics_fn(end_points, host_batch))
             agg.update(jax.device_get(scalars))
+            if self.predictions_fn is not None:
+                preds.extend(self.predictions_fn(end_points, host_batch))
         val_metrics = agg.means()
         self.log.info(f"val @ epoch {epoch + 1}: {agg.format()}  ({time.time() - t0:.1f}s)")
         self.log.scalars(self.global_iter, "val", val_metrics)
@@ -177,7 +186,20 @@ class Solver:
             checkpoints.save_params(self.run_dir, "model",
                                     jax.device_get(state.params),
                                     jax.device_get(state.batch_stats))
+            if preds:
+                self._write_predictions_csv(preds)
         return state
+
+    def _write_predictions_csv(self, preds):
+        import csv
+        import os
+
+        path = os.path.join(self.run_dir, "predictions.csv")
+        with open(path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=sorted(preds[0].keys()))
+            writer.writeheader()
+            writer.writerows(preds)
+        self.log.info(f"wrote {len(preds)} best-val predictions -> predictions.csv")
 
     # --- helpers --------------------------------------------------------
     def _device_batch(self, batch):

@@ -42,6 +42,8 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--stage", type=str, default="VQA", choices=["DET", "VQA"])
     p.add_argument("--share_decoder", action="store_true")
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize ViT/BERT layers (bigger train batches)")
     p.add_argument("--tiny", action="store_true", help="tiny dims (CI/demo)")
 
 
@@ -83,7 +85,8 @@ def build_model_config(args, num_answers: int) -> BridgeQAConfig:
             use_answer=not args.no_answer, use_blip=not args.no_blip, stage=args.stage,
         )
     blip = BlipVQA3DConfig(image_size=args.image_size, num_answers=num_answers,
-                           share_decoder=args.share_decoder)
+                           share_decoder=args.share_decoder,
+                           remat=getattr(args, "remat", False))
     return BridgeQAConfig(
         num_answers=num_answers,
         num_proposal=args.num_proposal,

@@ -142,12 +142,33 @@ def main(argv=None):
         ep = get_eval(end_points, dc, use_lang_classifier=not args.no_lang_cls)
         return {k: ep[k] for k in SCALAR_EVAL_KEYS if k in ep}
 
+    def predictions(end_points, host_batch):
+        """Per-sample rows for the best-val CSV (solver.py:623-656 schema)."""
+        if "answer_scores" not in end_points or "question_id_str" not in host_batch:
+            return []
+        import numpy as _np
+
+        scores = _np.asarray(jax.device_get(end_points["answer_scores"]))
+        top1 = scores.argmax(axis=1)
+        rows = []
+        for i, qid in enumerate(host_batch["question_id_str"]):
+            rows.append({
+                "question_id": qid,
+                "scene_id": host_batch["scene_id_str"][i],
+                "question": host_batch["question"][i],
+                "pred_answer": answer_cands[top1[i]] if answer_cands else "",
+                "gt_answers": host_batch["answers"][i],
+            })
+        return rows
+
     solver = Solver(model, dc, tx, step_cfg, solver_cfg, mesh=mesh, run_dir=run_dir,
                     logger=logger, eval_metrics_fn=eval_metrics,
-                    extra_eval_inputs=extra_eval)
+                    extra_eval_inputs=extra_eval, predictions_fn=predictions)
 
     checkpoints.save_run_info(run_dir, common.args_to_dict(args))
     checkpoints.save_answer_vocab(run_dir, answer_cands, answer_counter)
+    with open(os.path.join(run_dir, "cmdline.txt"), "w") as f:  # solver.py:331-336
+        f.write(" ".join(sys.argv) + "\n")
 
     state = solver(state, train_loader, val_loader, rng=jax.random.PRNGKey(args.seed + 2),
                    start_epoch=start_epoch)

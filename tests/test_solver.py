@@ -30,7 +30,8 @@ class TestTrainDriver:
     def test_artifacts_written(self, run_dir):
         d, _ = run_dir
         for name in ("info.json", "answer_vocab.json", "log.txt", "metrics.jsonl",
-                     "model", "model_last", "checkpoint"):
+                     "model", "model_last", "checkpoint", "cmdline.txt",
+                     "predictions.csv"):
             assert os.path.exists(os.path.join(d, name)), name
 
     def test_metrics_logged_finite(self, run_dir):
