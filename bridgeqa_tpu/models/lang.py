@@ -54,3 +54,27 @@ class LangModule(nn.Module):
             h = nn.Dropout(self.pdrop)(lang_emb, deterministic=not train)
             out["lang_scores"] = nn.Dense(self.num_object_class, kernel_init=normal_init, name="lang_cls")(h)
         return out
+
+
+class CLIPLangModule(nn.Module):
+    """``CLIPLangModule`` (``models/lang_module.py:~125-139``): the reference
+    variant that feeds frozen open_clip token features through a projection
+    instead of an LSTM. open_clip isn't bundled here, so this takes the
+    pre-extracted CLIP token embeddings from the data pipeline (any (B, L, E)
+    stream) and applies the same projection + mask interface as LangModule.
+    """
+
+    out_size: int = 256
+    pdrop: float = 0.1
+
+    @nn.compact
+    def __call__(self, clip_feat, lang_len, *, train: bool):
+        """clip_feat (B, L, E) precomputed CLIP token features; lang_len (B,)."""
+        x = nn.Dropout(self.pdrop)(clip_feat, deterministic=not train)
+        lang_out = nn.Dense(self.out_size, kernel_init=normal_init, name="proj")(x)
+        valid = jnp.arange(lang_out.shape[1])[None, :] < lang_len[:, None]
+        lang_out = jnp.where(valid[..., None], lang_out, 0.0)
+        # CLS-style pooled embedding = mean over valid tokens
+        denom = jnp.maximum(lang_len[:, None], 1)
+        lang_emb = jnp.sum(lang_out, axis=1) / denom
+        return {"lang_out": lang_out, "lang_emb": lang_emb, "lang_mask": ~valid}

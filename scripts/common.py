@@ -53,6 +53,9 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--dataset", type=str, default="scanqa", choices=["scanqa", "sqa"],
                    help="QA benchmark: ScanQA or SQA3D (reference blip_utils.py:11-14)")
     p.add_argument("--i2tfile", type=str, default=None, help="question->view mapping")
+    p.add_argument("--multiview_root", type=str, default=None,
+                   help="per-scene projected ENet features "
+                        "(project_multiview_features.py output) for --use_multiview")
     p.add_argument("--synthetic", action="store_true",
                    help="run on generated scenes (no ScanNet needed)")
     p.add_argument("--batch_size", type=int, default=16)
@@ -253,6 +256,20 @@ def build_datasets(args, *, splits=("train", "val")):
                                   image_size=args.image_size)
             view_lookup = make_view_lookup(pool, load_scene_view_map(args.i2tfile))
 
+    multiview_lookup = None
+    if args.use_multiview:
+        if getattr(args, "multiview_root", None):
+            mv_root = args.multiview_root
+
+            def multiview_lookup(scene_id):  # noqa: F811
+                return np.load(os.path.join(mv_root, f"{scene_id}.npy"))
+        else:  # synthetic: random 128-d per-point features
+            def multiview_lookup(scene_id):  # noqa: F811
+                r = np.random.RandomState(abs(hash(scene_id)) % (2 ** 31))
+                n = scene_data[scene_id]["mesh_vertices"].shape[0] if not callable(scene_data) \
+                    else 50000
+                return r.rand(n, 128).astype(np.float32)
+
     datasets = {}
     for s in splits:
         datasets[s] = ScanQADataset(
@@ -261,6 +278,7 @@ def build_datasets(args, *, splits=("train", "val")):
             split=s, num_points=args.num_points,
             use_color=args.use_color, use_height=args.use_height,
             use_normal=args.use_normal, use_multiview=args.use_multiview,
+            multiview_lookup=multiview_lookup,
             augment=(s == "train"), use_unanswerable=args.use_unanswerable or s != "train",
             tokenizer=tokenizer, question_len=args.question_len, answer_len=args.answer_len,
             view_lookup=view_lookup,

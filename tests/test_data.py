@@ -163,3 +163,39 @@ class TestPipeline:
         d = dataset[0]
         assert d["answer_cats"].sum() == 1
         assert d["answer_cat_scores"].max() == get_answer_score(1)
+
+
+class TestMultiviewChannels:
+    def test_use_multiview_appends_128_channels(self):
+        from scripts.common import synthetic_records, synthetic_scene_data, synthetic_tokenizer
+        from bridgeqa_tpu.data.pipeline import ScanQADataset
+
+        scene_data = synthetic_scene_data(1, num_points=3000)
+        rng = np.random.RandomState(0)
+
+        def mv_lookup(scene_id):
+            n = scene_data[scene_id]["mesh_vertices"].shape[0]
+            return rng.rand(n, 128).astype(np.float32)
+
+        ds = ScanQADataset(synthetic_records(1, 1), scene_data, answer_cands=["brown"],
+                           split="train", num_points=1024, use_height=True,
+                           use_multiview=True, multiview_lookup=mv_lookup,
+                           tokenizer=synthetic_tokenizer())
+        pc = ds[0]["point_clouds"]
+        assert pc.shape == (1024, 3 + 1 + 128)  # xyz + height + multiview
+
+
+class TestCLIPLangModule:
+    def test_interface_matches_langmodule(self):
+        import jax
+        import jax.numpy as jnp
+        from bridgeqa_tpu.models.lang import CLIPLangModule
+
+        rng = np.random.RandomState(0)
+        m = CLIPLangModule(out_size=32)
+        feat = jnp.asarray(rng.rand(2, 6, 16), jnp.float32)
+        lens = jnp.asarray([4, 6])
+        out = m.init_with_output(jax.random.PRNGKey(0), feat, lens, train=False)[0]
+        assert out["lang_out"].shape == (2, 6, 32)
+        assert out["lang_emb"].shape == (2, 32)
+        assert bool(out["lang_mask"][0, 5]) and not bool(out["lang_mask"][0, 3])
