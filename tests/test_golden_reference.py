@@ -239,3 +239,54 @@ class TestLossGolden:
         for g, r, name in zip(got, (r_center, r_hcls, r_hreg, r_scls, r_sreg, r_sem),
                               ("center", "hcls", "hreg", "scls", "sreg", "sem")):
             np.testing.assert_allclose(float(g), r.item(), rtol=2e-4, atol=1e-6, err_msg=name)
+
+
+class TestVotingGolden:
+    def test_voting_module_matches_reference(self, ref):
+        import importlib
+
+        import jax
+        import jax.numpy as jnp
+
+        ref_voting = importlib.import_module("models.voting_module")
+        from bridgeqa_tpu.models.voting import VotingModule
+
+        torch.manual_seed(1)
+        C = 32
+        ref_m = ref_voting.VotingModule(vote_factor=1, seed_feature_dim=C).eval()
+
+        rng = np.random.RandomState(3)
+        b, n_seed = 2, 24
+        seed_xyz = rng.rand(b, n_seed, 3).astype(np.float32)
+        seed_feat = rng.rand(b, C, n_seed).astype(np.float32)  # torch channel-first
+
+        with torch.no_grad():
+            r_xyz, r_feat = ref_m(torch.tensor(seed_xyz), torch.tensor(seed_feat))
+        r_xyz, r_feat = r_xyz.numpy(), r_feat.numpy().transpose(0, 2, 1)
+
+        ours = VotingModule(vote_factor=1, seed_feature_dim=C)
+        variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(seed_xyz),
+                              jnp.asarray(seed_feat.transpose(0, 2, 1)), train=False)
+        # convert: Conv1d weight (out, in, 1) -> Dense kernel (in, out); BN stats
+        sd = {k: v.numpy() for k, v in ref_m.state_dict().items()}
+        params = {
+            f"conv{i}": {"kernel": sd[f"conv{i}.weight"][..., 0].T,
+                         "bias": sd[f"conv{i}.bias"]} for i in (1, 2, 3)
+        }
+        params.update({
+            f"bn{i}": {"scale": sd[f"bn{i}.weight"], "bias": sd[f"bn{i}.bias"]} for i in (1, 2)
+        })
+        stats = {f"bn{i}": {"mean": sd[f"bn{i}.running_mean"],
+                            "var": sd[f"bn{i}.running_var"]} for i in (1, 2)}
+        from bridgeqa_tpu.utils.blip_checkpoint import merge_pretrained
+
+        merged, _, skipped = merge_pretrained(variables["params"], params)
+        assert not skipped, skipped
+        mstats, _, skipped = merge_pretrained(variables["batch_stats"], stats)
+        assert not skipped, skipped
+
+        g_xyz, g_feat = ours.apply({"params": merged, "batch_stats": mstats},
+                                   jnp.asarray(seed_xyz),
+                                   jnp.asarray(seed_feat.transpose(0, 2, 1)), train=False)
+        np.testing.assert_allclose(np.asarray(g_xyz), r_xyz, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(g_feat), r_feat, atol=2e-5)
