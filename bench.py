@@ -2,7 +2,9 @@
 
 Measures the full paralleltwin inference path (BASELINE.json config 4):
 VoteNet detector over 40k-point scenes + ViT-B/480 + twin 12-layer BERT +
-dual-decoder rank-answer over a 4500-answer list (k_test=128), batch 32,
+dual-decoder rank-answer over a 4500-answer list at the reference's own
+ranking settings (k_test=256, the `qa_module` default the reference
+evaluates with; answers padded to 12 tokens ~ ScanQA's max), batch 32,
 on the real TPU chip. Prints ONE JSON line.
 
 ``vs_baseline`` compares against BASELINE_QA_PER_SEC_PER_GPU, an estimate of
@@ -28,9 +30,9 @@ BASELINE_QA_PER_SEC_PER_GPU = 12.0
 BATCH = 32
 NUM_POINTS = 40000
 IMAGE_SIZE = 480
-K_TEST = 128
+K_TEST = 256  # reference ranking default (scripts/train.py k_test, SURVEY §3.3)
 NUM_ANSWERS = 4500
-ANSWER_LEN = 8
+ANSWER_LEN = 12  # ScanQA answers tokenize to ~12 max
 QUESTION_LEN = 80
 
 
@@ -87,10 +89,13 @@ def main():
     best = min(times)
     qa_per_sec = BATCH / best
     print(json.dumps({
-        "metric": "QA pairs/sec/chip (ScanQA-shape e2e paralleltwin rank inference, batch 32)",
+        "metric": "QA pairs/sec/chip (ScanQA-shape e2e paralleltwin rank inference, "
+                  "batch 32, k_test=256, answer_len 12)",
         "value": round(qa_per_sec, 3),
         "unit": "QA pairs/sec/chip",
         "vs_baseline": round(qa_per_sec / BASELINE_QA_PER_SEC_PER_GPU, 3),
+        "baseline_note": f"vs estimated {BASELINE_QA_PER_SEC_PER_GPU} QA/s/GPU for the torch "
+                         "reference eval loop (estimate, not a measurement; fixed across rounds)",
     }))
 
 

@@ -246,15 +246,21 @@ def eval_det(pred_all, gt_all, ovthresh=0.25, use_07_metric=False):
     for img_id in pred_all:
         for cls, bbox, score in pred_all[img_id]:
             pred.setdefault(cls, {}).setdefault(img_id, []).append((bbox, score))
+            # reference quirk (eval_det.py:165-170): predicted classes enter
+            # the gt map with empty lists, so per-class-proposal mode reports
+            # every class (AP 0 when no GT instance exists) — keep it for
+            # metric parity.
+            gt.setdefault(cls, {}).setdefault(img_id, [])
     for img_id in gt_all:
         for cls, bbox in gt_all[img_id]:
             gt.setdefault(cls, {}).setdefault(img_id, []).append(bbox)
-    for cls in gt:
-        pred.setdefault(cls, {})
 
     rec, prec, ap = {}, {}, {}
     for cls in gt:
-        rec[cls], prec[cls], ap[cls] = eval_det_cls(pred[cls], gt[cls], ovthresh, use_07_metric)
+        if cls in pred:
+            rec[cls], prec[cls], ap[cls] = eval_det_cls(pred[cls], gt[cls], ovthresh, use_07_metric)
+        else:  # eval_det.py:232-235 (gt class never predicted)
+            rec[cls], prec[cls], ap[cls] = 0, 0, 0
     return rec, prec, ap
 
 

@@ -17,6 +17,10 @@ class Pointnet2Backbone(nn.Module):
     width: int = 1
     depth: int = 2
     seed_feat_dim: int = 256
+    # reference hyperparameters (backbone_module.py:32-66); overridable so
+    # tiny-shape dryruns/tests can scale the sequential FPS work down.
+    sa_npoints: tuple = (2048, 1024, 512, 256)
+    sa_nsamples: tuple = (64, 32, 16, 16)
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -29,22 +33,24 @@ class Pointnet2Backbone(nn.Module):
         xyz = point_clouds[..., :3]
         features = point_clouds[..., 3:] if point_clouds.shape[-1] > 3 else None
 
+        np1, np2, np3, np4 = self.sa_npoints
+        ns1, ns2, ns3, ns4 = self.sa_nsamples
         # mlp widths are the reference specs minus the (inferred) input dim;
         # the +3 use_xyz bump is implicit in channel-last concat.
         sa1 = PointnetSAModuleVotes(
-            mlp=[64 * w] * d + [128 * w], npoint=2048, radius=0.2, nsample=64,
+            mlp=[64 * w] * d + [128 * w], npoint=np1, radius=0.2, nsample=ns1,
             use_xyz=True, normalize_xyz=True, dtype=self.dtype, name="sa1",
         )
         sa2 = PointnetSAModuleVotes(
-            mlp=[128 * w] * d + [256 * w], npoint=1024, radius=0.4, nsample=32,
+            mlp=[128 * w] * d + [256 * w], npoint=np2, radius=0.4, nsample=ns2,
             use_xyz=True, normalize_xyz=True, dtype=self.dtype, name="sa2",
         )
         sa3 = PointnetSAModuleVotes(
-            mlp=[128 * w] * d + [256 * w], npoint=512, radius=0.8, nsample=16,
+            mlp=[128 * w] * d + [256 * w], npoint=np3, radius=0.8, nsample=ns3,
             use_xyz=True, normalize_xyz=True, dtype=self.dtype, name="sa3",
         )
         sa4 = PointnetSAModuleVotes(
-            mlp=[128 * w] * d + [256 * w], npoint=256, radius=1.2, nsample=16,
+            mlp=[128 * w] * d + [256 * w], npoint=np4, radius=1.2, nsample=ns4,
             use_xyz=True, normalize_xyz=True, dtype=self.dtype, name="sa4",
         )
         fp1 = PointnetFPModule(mlp=[256 * w, 256 * w], dtype=self.dtype, name="fp1")

@@ -55,7 +55,9 @@ class BlipVQA3DConfig:
     bos_token_id: int = 30522  # [DEC] (blip.py:326-331)
     sep_token_id: int = 102  # [SEP] = generation eos (blip_vqa_3d.py:409)
     scene_ensemble_weight: float = 1.05  # blip_vqa_3d.py:492
+    rank_loss_chunk_size: int | None = 512  # chunked answer-scoring loss (HBM bound)
     num_beams: int = 5  # blip_vqa_3d.py:396
+    use_kv_cache: bool = True  # O(L) cached generation vs O(L^2) prefix re-run
     generate_max_length: int = 20
     generate_min_length: int = 1
     remat: bool = False  # rematerialize ViT blocks + BERT layers (training memory)
@@ -141,10 +143,16 @@ class BLIPVQA3D(nn.Module):
         self.bilinear_bias = self.param("bilinear_fusion_bias", nn.initializers.zeros, (h,), jnp.float32)
 
         self.linear_scene_object = MlpAdapter(h, dtype=self.dtype, name="linear_scene_object")
-        self.camera_encoder = MlpAdapter(h, dtype=self.dtype, name="camera_encoder")
-        self.answer_cls = ClassifierHead(h, c.num_answers, c.answer_pdrop, dtype=self.dtype, name="answer_cls")
-        self.answer_cls_2d3d = ClassifierHead(h, c.num_answers, c.answer_pdrop, dtype=self.dtype,
-                                              name="answer_cls_2d3d")
+        # NOTE: the reference's ``camera_encoder`` (blip_vqa_3d.py:152-159) is
+        # only consumed by the non-parallel scene_feature_position modes
+        # (blip_vqa_3d.py:261-264), which this rebuild intentionally omits —
+        # so it is not constructed at all here.
+        if not c.use_text_decoder:
+            self.answer_cls = ClassifierHead(h, c.num_answers, c.answer_pdrop, dtype=self.dtype,
+                                             name="answer_cls")
+            if c.use_scene_classifier_2d3d:
+                self.answer_cls_2d3d = ClassifierHead(h, c.num_answers, c.answer_pdrop,
+                                                      dtype=self.dtype, name="answer_cls_2d3d")
 
     def _decoder_scene(self):
         return self.text_decoder if self.cfg.share_decoder else self.text_decoder_scene
@@ -259,9 +267,12 @@ class BLIPVQA3D(nn.Module):
 
         # question states stay at batch B: the decoder's grouped
         # cross-attention projects each question's K/V once and shares them
-        # across its k candidate answers (med.BertSelfAttention group path)
+        # across its k candidate answers (med.BertSelfAttention group path).
+        # loss_chunk_size keeps the (B*k, La, vocab) logits out of HBM —
+        # at k_test=256/batch 32 the full tensor would need >15 GB.
         _, loss = decoder(input_ids, input_atts, question_states, question_mask,
-                          labels=targets, deterministic=True)
+                          labels=targets, deterministic=True,
+                          loss_chunk_size=self.cfg.rank_loss_chunk_size)
         log_probs_sum = (-loss).reshape(num_ques, k)
         return topk_ids, log_probs_sum
 
@@ -319,7 +330,11 @@ class BLIPVQA3D(nn.Module):
 
         Returns (best_ids (B, max_length), fused_hidden, question_mask).
         """
-        from bridgeqa_tpu.models.generation import generate_answers, interleave_streams
+        from bridgeqa_tpu.models.generation import (
+            beam_search_cached,
+            generate_answers,
+            interleave_streams,
+        )
 
         c = self.cfg
         num_beams = num_beams if num_beams is not None else c.num_beams
@@ -332,16 +347,32 @@ class BLIPVQA3D(nn.Module):
             train=False,
         )
         question_states = interleave_streams(h2d, h3d, num_beams)
+        batch = h2d.shape[0]
 
-        def decoder_apply(ids, mask, enc_states, enc_mask):
-            logits, _ = self.text_decoder(ids, mask, enc_states, enc_mask, deterministic=True)
-            return logits
+        if c.use_kv_cache:
+            k = 2 * num_beams
+            q_mask_rows = jnp.repeat(question_mask, k, axis=0)
+            cache = self.text_decoder.init_cache(question_states, q_mask_rows, max_length)
 
-        best_ids, best_scores = generate_answers(
-            decoder_apply, question_states, question_mask, h2d.shape[0], num_beams,
-            bos_token_id=c.bos_token_id, eos_token_id=c.sep_token_id,
-            pad_token_id=c.pad_token_id, max_length=max_length, min_length=min_length,
-        )
+            def decode_step_fn(tok, cache):
+                return self.text_decoder.decode_step(tok, cache)
+
+            ids, scores = beam_search_cached(
+                decode_step_fn, cache, batch, k,
+                bos_token_id=c.bos_token_id, eos_token_id=c.sep_token_id,
+                pad_token_id=c.pad_token_id, max_length=max_length, min_length=min_length,
+            )
+            best_ids, best_scores = ids[:, 0], scores[:, 0]
+        else:
+            def decoder_apply(ids, mask, enc_states, enc_mask):
+                logits, _ = self.text_decoder(ids, mask, enc_states, enc_mask, deterministic=True)
+                return logits
+
+            best_ids, best_scores = generate_answers(
+                decoder_apply, question_states, question_mask, batch, num_beams,
+                bos_token_id=c.bos_token_id, eos_token_id=c.sep_token_id,
+                pad_token_id=c.pad_token_id, max_length=max_length, min_length=min_length,
+            )
         fused = self.fuse_2d3d(h2d, h3d)
         return best_ids, fused, question_mask
 

@@ -40,6 +40,8 @@ class BridgeQAConfig:
     proposal_size: int = 128
     pointnet_width: int = 1
     pointnet_depth: int = 2
+    backbone_sa_npoints: tuple = (2048, 1024, 512, 256)
+    backbone_sa_nsamples: tuple = (64, 32, 16, 16)
     answer_pdrop: float = 0.3
     mcan_num_layers: int = 2
     mcan_num_heads: int = 8
@@ -98,6 +100,8 @@ class BridgeQA(nn.Module):
             proposal_size=c.proposal_size,
             width=c.pointnet_width,
             depth=c.pointnet_depth,
+            sa_npoints=c.backbone_sa_npoints,
+            sa_nsamples=c.backbone_sa_nsamples,
             dtype=self.dtype,
             name="detector",
         )

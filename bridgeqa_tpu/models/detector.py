@@ -28,6 +28,8 @@ class VoteNetDetector(nn.Module):
     proposal_size: int = 128
     width: int = 1
     depth: int = 2
+    sa_npoints: tuple = (2048, 1024, 512, 256)
+    sa_nsamples: tuple = (64, 32, 16, 16)
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -38,6 +40,8 @@ class VoteNetDetector(nn.Module):
             width=self.width,
             depth=self.depth,
             seed_feat_dim=self.seed_feat_dim,
+            sa_npoints=self.sa_npoints,
+            sa_nsamples=self.sa_nsamples,
             dtype=self.dtype,
             name="backbone_net",
         )(point_clouds, train=train, bn_momentum=bn_momentum)

@@ -36,10 +36,14 @@ class InitialBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        conv = nn.Conv(13, (3, 3), strides=(2, 2), padding="SAME", use_bias=True, name="conv")(x)
+        # explicit (1, 1) padding: torch pads symmetrically; flax SAME with
+        # stride 2 would pad (0, 1) and shift the grid by one pixel
+        conv = nn.Conv(13, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), use_bias=True,
+                       name="conv")(x)
         pool = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
         out = jnp.concatenate([conv, pool], axis=-1)  # 16 channels
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3,
+                           name="bn")(out)
         return PReLU(16, name="prelu")(out)
 
 
@@ -74,21 +78,27 @@ class Bottleneck(nn.Module):
         # bottleneck branch
         h = nn.Conv(mid, (stride, stride) if self.kind == "down" else (1, 1),
                     strides=(stride, stride), padding="VALID", use_bias=False, name="reduce")(x)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3, name="bn1")(h)
         h = PReLU(mid, name="prelu1")(h)
 
         if self.kind == "asymmetric":
+            # reference order (lib/enet.py torch7 port): (1, k) no-bias then
+            # (k, 1) with bias
             k = self.asym_k
-            h = nn.Conv(mid, (k, 1), padding="SAME", use_bias=False, name="conv_a")(h)
-            h = nn.Conv(mid, (1, k), padding="SAME", use_bias=True, name="conv_b")(h)
+            h = nn.Conv(mid, (1, k), padding="SAME", use_bias=False, name="conv_a")(h)
+            h = nn.Conv(mid, (k, 1), padding="SAME", use_bias=True, name="conv_b")(h)
         else:
             h = nn.Conv(mid, (3, 3), padding="SAME", use_bias=True,
                         kernel_dilation=(self.dilation, self.dilation), name="conv")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3, name="bn2")(h)
         h = PReLU(mid, name="prelu2")(h)
 
         h = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="expand")(h)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn3")(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3, name="bn3")(h)
+        # torch7-style dropout (lib/enet.py:89-96): the branch is scaled by
+        # (1-p) at EVAL too (kept elements end up unscaled in training) —
+        # the pretrained weights expect this inference-time damping
+        h = h * (1.0 - self.drop)
         h = nn.Dropout(self.drop)(h, deterministic=not train)
 
         return PReLU(self.out_ch, name="prelu_out")(main + h)

@@ -92,6 +92,70 @@ def beam_search(decode_fn, batch_size: int, num_beams: int, *, bos_token_id: int
     return ids, scores
 
 
+def beam_search_cached(decode_step_fn, cache, batch_size: int, num_beams: int, *,
+                       bos_token_id: int, eos_token_id: int, pad_token_id: int,
+                       max_length: int = 20, min_length: int = 1):
+    """KV-cached beam search (reference ``med.py:1447-1470`` past_key_value +
+    ``_reorder_cache``): O(L) decoder work instead of the O(L^2) re-run path.
+
+    decode_step_fn(token_ids (B*K, 1), cache) -> (logits (B*K, V), new cache);
+    ``cache`` rows follow HF semantics — a hypothesis carries its WHOLE state
+    (self-attention prefix K/V *and* cross K/V) through beam reordering, so a
+    beam born on a 3D-stream row stays 3D wherever it lands. (The uncached
+    ``beam_search`` re-interprets moved prefixes under the destination row's
+    stream; identical whenever all rows of a sample share one stream.)
+
+    Returns (sequences (B, K, max_length), scores (B, K)) sorted best-first.
+    """
+    k = num_beams
+
+    ids0 = jnp.full((batch_size, k, max_length), pad_token_id, dtype=jnp.int32)
+    ids0 = ids0.at[:, :, 0].set(bos_token_id)
+    scores0 = jnp.tile(jnp.asarray([0.0] + [NEG_INF] * (k - 1), jnp.float32), (batch_size, 1))
+    finished0 = jnp.zeros((batch_size, k), dtype=bool)
+
+    def gather_cache(cache, beam_idx):
+        def gather(x):
+            if x.ndim == 0 or x.shape[0] != batch_size * k:
+                return x  # pos scalar
+            xb = x.reshape(batch_size, k, *x.shape[1:])
+            idx = beam_idx.reshape(batch_size, k, *([1] * (x.ndim - 1)))
+            xg = jnp.take_along_axis(xb, idx, axis=1)
+            return xg.reshape(x.shape)
+
+        return jax.tree.map(gather, cache)
+
+    def step(t, state):
+        ids, scores, finished, cache = state
+        tok = ids[:, :, t].reshape(batch_size * k, 1)
+        logits, cache = decode_step_fn(tok, cache)  # (B*K, V)
+        v = logits.shape[-1]
+        next_logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(batch_size, k, v)
+
+        next_logp = jnp.where((t + 1 < min_length) & (jnp.arange(v)[None, None, :] == eos_token_id),
+                              NEG_INF, next_logp)
+        frozen = jnp.where(jnp.arange(v)[None, None, :] == pad_token_id, 0.0, NEG_INF)
+        next_logp = jnp.where(finished[..., None], frozen, next_logp)
+
+        cand_flat = (scores[..., None] + next_logp).reshape(batch_size, k * v)
+        top_scores, top_idx = jax.lax.top_k(cand_flat, k)
+        beam_idx = top_idx // v
+        token_idx = top_idx % v
+
+        new_ids = jnp.take_along_axis(ids, beam_idx[..., None], axis=1)
+        new_ids = new_ids.at[:, :, t + 1].set(token_idx)
+        new_finished = jnp.take_along_axis(finished, beam_idx, axis=1) | (token_idx == eos_token_id)
+        return new_ids, top_scores, new_finished, gather_cache(cache, beam_idx)
+
+    ids, scores, finished, _ = jax.lax.fori_loop(
+        0, max_length - 1, step, (ids0, scores0, finished0, cache))
+
+    order = jnp.argsort(-scores, axis=1)
+    ids = jnp.take_along_axis(ids, order[..., None], axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    return ids, scores
+
+
 def generate_answers(decoder_apply, question_states, question_mask, batch_size: int,
                      num_beams: int, *, bos_token_id: int, eos_token_id: int,
                      pad_token_id: int, max_length: int = 20, min_length: int = 1):

@@ -88,7 +88,8 @@ class BertEmbeddings(nn.Module):
         if inputs_embeds is None:
             inputs_embeds = self.word_embeddings(input_ids)
         seq_length = inputs_embeds.shape[1]
-        position_ids = jnp.arange(position_offset, position_offset + seq_length)[None, :]
+        # written as arange + offset so a traced offset (KV-cache decode) works
+        position_ids = (jnp.arange(seq_length) + position_offset)[None, :]
         embeddings = inputs_embeds + self.position_embeddings(position_ids)
         embeddings = self.LayerNorm(embeddings)
         return self.dropout(embeddings, deterministic=deterministic)
@@ -99,17 +100,48 @@ class BertSelfAttention(nn.Module):
     is_cross_attention: bool = False
     dtype: jnp.dtype | None = None
 
-    @nn.compact
+    def setup(self):
+        c = self.config
+        self.query = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="query")
+        self.key = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="key")
+        self.value = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="value")
+        self.prob_dropout = nn.Dropout(c.attention_probs_dropout_prob)
+
+    def project_kv(self, kv_src):
+        """(B, Lk, *) -> K/V (B, nh, Lk, hd) — the cacheable half."""
+        c = self.config
+        nh = c.num_attention_heads
+        hd = c.hidden_size // nh
+        kb, lk = kv_src.shape[:2]
+        k = self.key(kv_src).reshape(kb, lk, nh, hd).transpose(0, 2, 1, 3)
+        v = self.value(kv_src).reshape(kb, lk, nh, hd).transpose(0, 2, 1, 3)
+        return k, v
+
+    def attend_cached(self, hidden_states, k, v, attention_bias=None, *, deterministic: bool):
+        """Query from ``hidden_states`` against precomputed K/V (the KV-cache
+        decode path; no dropout — inference only)."""
+        c = self.config
+        nh = c.num_attention_heads
+        hd = c.hidden_size // nh
+        b, lq = hidden_states.shape[:2]
+        q = self.query(hidden_states).reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
+        if attention_bias is not None:
+            scores = scores + attention_bias.astype(scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        return ctx.transpose(0, 2, 1, 3).reshape(b, lq, c.hidden_size)
+
     def __call__(self, hidden_states, attention_bias=None, encoder_hidden_states=None, *, deterministic: bool):
         c = self.config
         h, nh = c.hidden_size, c.num_attention_heads
         hd = h // nh
         b, lq = hidden_states.shape[:2]
 
-        query = nn.Dense(h, kernel_init=normal_init, dtype=self.dtype, name="query")(hidden_states)
+        query = self.query(hidden_states)
         kv_src = encoder_hidden_states if self.is_cross_attention else hidden_states
-        key = nn.Dense(h, kernel_init=normal_init, dtype=self.dtype, name="key")(kv_src)
-        value = nn.Dense(h, kernel_init=normal_init, dtype=self.dtype, name="value")(kv_src)
+        key = self.key(kv_src)
+        value = self.value(kv_src)
 
         lk = kv_src.shape[1]
         kb = kv_src.shape[0]
@@ -128,7 +160,7 @@ class BertSelfAttention(nn.Module):
             if attention_bias is not None:  # (kb, 1, 1, lk) question padding bias
                 scores = scores + attention_bias.astype(scores.dtype)
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
-            probs_d = nn.Dropout(c.attention_probs_dropout_prob)(probs, deterministic=deterministic)
+            probs_d = self.prob_dropout(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_d, v)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, h)
             return ctx, probs
@@ -138,7 +170,7 @@ class BertSelfAttention(nn.Module):
         if attention_bias is not None:
             scores = scores + attention_bias.astype(scores.dtype)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
-        probs_d = nn.Dropout(c.attention_probs_dropout_prob)(probs, deterministic=deterministic)
+        probs_d = self.prob_dropout(probs, deterministic=deterministic)
 
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_d, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, h)
@@ -198,6 +230,34 @@ class BertLayer(nn.Module):
         layer_output = self.output_dropout(self.output_dense(intermediate), deterministic=deterministic)
         layer_output = self.output_LayerNorm(layer_output + attention_output)
         return layer_output, self_probs, cross_probs
+
+    # ---- KV-cache decode (inference only; reference med.py:1447-1470
+    # past_key_value machinery, TPU-first static-shape formulation) ----
+
+    def decode_kv_init(self, encoder_hidden_states):
+        """Cross-attention K/V from the encoder states — computed ONCE per
+        generation instead of per decode step."""
+        return self.crossattention.self.project_kv(encoder_hidden_states)
+
+    def decode_step(self, hidden, layer_cache, pos, self_bias, cross_bias):
+        """One-token layer step: write this position's self K/V into the
+        cache, attend over the cached prefix + the fixed cross K/V."""
+        from jax import lax
+
+        k_new, v_new = self.attention.self.project_kv(hidden)
+        self_k = lax.dynamic_update_slice(layer_cache["self_k"], k_new, (0, 0, pos, 0))
+        self_v = lax.dynamic_update_slice(layer_cache["self_v"], v_new, (0, 0, pos, 0))
+        ctx = self.attention.self.attend_cached(hidden, self_k, self_v, self_bias,
+                                                deterministic=True)
+        attention_output = self.attention.output(ctx, hidden, deterministic=True)
+        cctx = self.crossattention.self.attend_cached(
+            attention_output, layer_cache["cross_k"], layer_cache["cross_v"], cross_bias,
+            deterministic=True)
+        attention_output = self.crossattention.output(cctx, attention_output, deterministic=True)
+        intermediate = nn.gelu(self.intermediate_dense(attention_output), approximate=False)
+        layer_output = self.output_LayerNorm(self.output_dense(intermediate) + attention_output)
+        new_cache = dict(layer_cache, self_k=self_k, self_v=self_v)
+        return layer_output, new_cache
 
 
 def _layer_cls(config: MedConfig):
@@ -342,28 +402,45 @@ class BertLMPredictionHead(nn.Module):
     config: MedConfig
     dtype: jnp.dtype | None = None
 
-    @nn.compact
-    def __call__(self, hidden_states, word_embed: nn.Embed):
+    def setup(self):
         c = self.config
-        h = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="transform_dense")(hidden_states)
+        self.transform_dense = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype,
+                                        name="transform_dense")
+        self.transform_LayerNorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                                                name="transform_LayerNorm")
+        self.bias = self.param("bias", nn.initializers.zeros, (c.vocab_size,), jnp.float32)
+
+    def transform(self, hidden_states):
+        h = self.transform_dense(hidden_states)
         h = nn.gelu(h, approximate=False)
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="transform_LayerNorm")(h)
-        logits = word_embed.attend(h)
-        bias = self.param("bias", nn.initializers.zeros, (c.vocab_size,), jnp.float32)
-        return logits + bias
+        return self.transform_LayerNorm(h)
+
+    def __call__(self, hidden_states, word_embed: nn.Embed):
+        logits = word_embed.attend(self.transform(hidden_states))
+        return logits + self.bias
 
 
 def label_smoothed_lm_loss(logits, labels, epsilon: float = 0.1):
     """torch ``CrossEntropyLoss(label_smoothing=0.1, reduction='none')`` with
     ignore_index -100, shift-by-one, summed per sequence
     (``med.py:1424-1432``). logits (B, L, V), labels (B, L) -> (B,)."""
-    shifted_logits = logits[:, :-1, :]
-    shifted_labels = labels[:, 1:]
+    return _label_smoothed_from_shifted(logits[:, :-1, :], labels[:, 1:], epsilon)
+
+
+def _label_smoothed_from_shifted(shifted_logits, shifted_labels, epsilon: float = 0.1):
+    """Label-smoothed CE in logsumexp form: ``nll = lse - logit_target`` and
+    ``smooth = -mean(logp) = lse - mean(logits)``. Mathematically identical
+    to ``log_softmax`` + gather, but only *reductions* touch the (B, L, V)
+    logits — XLA fuses the f32 upcast into them, so no full-vocab f32
+    tensor ever materializes (at answer-ranking batch sizes that tensor is
+    >10 GB and was the round-1 HBM OOM)."""
     valid = shifted_labels != -100
     safe_labels = jnp.where(valid, shifted_labels, 0)
-    logp = jax.nn.log_softmax(shifted_logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
-    smooth = -jnp.mean(logp, axis=-1)
+    lse = jax.nn.logsumexp(shifted_logits.astype(jnp.float32), axis=-1)
+    mean_logits = jnp.mean(shifted_logits.astype(jnp.float32), axis=-1)
+    target = jnp.take_along_axis(shifted_logits, safe_labels[..., None], axis=-1)[..., 0]
+    nll = lse - target.astype(jnp.float32)
+    smooth = lse - mean_logits
     per_token = (1.0 - epsilon) * nll + epsilon * smooth
     per_token = jnp.where(valid, per_token, 0.0)
     return jnp.sum(per_token, axis=-1)
@@ -380,8 +457,17 @@ class BertLMHeadModel(nn.Module):
         self.cls = BertLMPredictionHead(self.config, dtype=self.dtype, name="cls")
 
     def __call__(self, input_ids, attention_mask=None, encoder_hidden_states=None,
-                 encoder_attention_mask=None, labels=None, *, deterministic: bool):
-        """Returns (logits, per_sequence_loss | None)."""
+                 encoder_attention_mask=None, labels=None, *, deterministic: bool,
+                 loss_chunk_size: int | None = None):
+        """Returns (logits, per_sequence_loss | None).
+
+        ``loss_chunk_size``: when scoring a large batch (answer ranking runs
+        B*k_test = thousands of sequences), the (B, L, vocab) logits tensor
+        cannot materialize in HBM (k_test=256 at batch 32 needs a 10+ GB
+        f32 buffer). Setting a chunk size computes the vocab projection +
+        label-smoothed loss in sequential batch chunks via ``lax.map``; only
+        the per-sequence loss is returned (logits come back as None).
+        """
         sequence_output = self.bert(
             input_ids,
             attention_mask=attention_mask,
@@ -390,6 +476,78 @@ class BertLMHeadModel(nn.Module):
             deterministic=deterministic,
             is_decoder=True,
         )
-        logits = self.cls(sequence_output, self.bert.embeddings.word_embeddings)
+        word_embed = self.bert.embeddings.word_embeddings
+        if labels is not None and loss_chunk_size is not None and sequence_output.shape[0] > loss_chunk_size:
+            b, l, h = sequence_output.shape
+            cs = loss_chunk_size
+            pad = (-b) % cs
+            # pre-shift: the last position predicts nothing, so drop it
+            # BEFORE the vocab projection (saves 1/L of the head matmul)
+            h_t = self.cls.transform(sequence_output)[:, :-1, :]  # (B, L-1, H)
+            shifted_labels = labels[:, 1:]
+            if pad:
+                h_t = jnp.concatenate([h_t, jnp.zeros((pad, l - 1, h), h_t.dtype)], axis=0)
+                shifted_labels = jnp.concatenate(
+                    [shifted_labels, jnp.full((pad, l - 1), -100, shifted_labels.dtype)], axis=0)
+            # match Embed.attend's dtype promotion, then + f32 bias
+            table = jnp.asarray(word_embed.embedding, h_t.dtype)
+            bias = self.cls.bias
+
+            def chunk_fn(args):
+                h_c, lab_c = args
+                logits_c = jnp.dot(h_c, table.T) + bias
+                return _label_smoothed_from_shifted(logits_c, lab_c)
+
+            n_chunks = h_t.shape[0] // cs
+            loss = jax.lax.map(
+                chunk_fn,
+                (h_t.reshape(n_chunks, cs, l - 1, h), shifted_labels.reshape(n_chunks, cs, l - 1)),
+            ).reshape(-1)[:b]
+            return None, loss
+        logits = self.cls(sequence_output, word_embed)
         loss = label_smoothed_lm_loss(logits, labels) if labels is not None else None
         return logits, loss
+
+    # ---- KV-cache decode path (generation; see BertLayer.decode_step) ----
+
+    def init_cache(self, question_states, question_mask, max_length: int):
+        """Decode cache: per-layer cross K/V projected once from the question
+        states + zeroed self K/V buffers (B, nh, max_length, hd).
+
+        NOT supported with ``config.remat`` (the remat-lifted layer class
+        exposes only ``__call__``); generation never needs remat.
+        """
+        c = self.config
+        assert not c.remat, "KV-cache decode requires remat=False layers"
+        nh = c.num_attention_heads
+        hd = c.hidden_size // nh
+        b = question_states.shape[0]
+        layers = []
+        for layer in self.bert.encoder.layer:
+            ck, cv = layer.decode_kv_init(question_states)
+            layers.append({
+                "self_k": jnp.zeros((b, nh, max_length, hd), ck.dtype),
+                "self_v": jnp.zeros((b, nh, max_length, hd), cv.dtype),
+                "cross_k": ck,
+                "cross_v": cv,
+            })
+        return {
+            "pos": jnp.zeros((), jnp.int32),
+            "layers": layers,
+            "cross_bias": extend_attention_mask(question_mask),
+        }
+
+    def decode_step(self, token_ids, cache):
+        """token_ids (B, 1) at position ``cache['pos']`` -> (next-token
+        logits (B, V), updated cache)."""
+        pos = cache["pos"]
+        hidden = self.bert.embeddings(token_ids, position_offset=pos, deterministic=True)
+        max_len = cache["layers"][0]["self_k"].shape[2]
+        self_bias = jnp.where(jnp.arange(max_len)[None, None, None, :] <= pos, 0.0, NEG_INF)
+        new_layers = []
+        for layer, lc in zip(self.bert.encoder.layer, cache["layers"]):
+            hidden, new_lc = layer.decode_step(hidden, lc, pos, self_bias, cache["cross_bias"])
+            new_layers.append(new_lc)
+        logits = self.cls(hidden, self.bert.embeddings.word_embeddings)  # (B, 1, V)
+        new_cache = {"pos": pos + 1, "layers": new_layers, "cross_bias": cache["cross_bias"]}
+        return logits[:, 0, :], new_cache

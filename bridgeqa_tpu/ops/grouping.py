@@ -68,6 +68,11 @@ def pairwise_sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
 _CHUNK = 128  # N-axis chunk (one lane group)
 
 
+# test/ablation hook: None = backend default, "exact" / "stripes" to force a
+# selection rule everywhere (stripes off-TPU runs the XLA emulation below)
+FORCE_MODE = None
+
+
 def ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
                *, exact: bool | None = None) -> jax.Array:
     """Radius neighborhood query.
@@ -87,6 +92,12 @@ def ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
       qualifier; all-empty -> 0). Deterministic, but NOT bitwise-identical
       to the CUDA scan.
     """
+    if FORCE_MODE == "exact":
+        exact = True
+    elif FORCE_MODE == "stripes" and nsample % 2 == 0:
+        if jax.default_backend() == "tpu":
+            return _ball_query_stripes(radius, nsample, xyz, new_xyz)[0]
+        return _ball_query_stripes_xla(radius, nsample, xyz, new_xyz)[0]
     if exact is None:
         exact = jax.default_backend() != "tpu"
     if exact or nsample % 2:
@@ -325,6 +336,61 @@ def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xy
     return idx[:b], (rx[:b], ry[:b], rz[:b])
 
 
+@partial(jax.jit, static_argnums=(0, 1))
+def _ball_query_stripes_xla(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array):
+    """Pure-XLA emulation of the Pallas stripe kernel's selection rule
+    (first + last qualifier per contiguous stripe, same padding/fill
+    semantics). Runs anywhere — used by the exact-vs-stripes detector
+    ablation on the CPU mesh and as the off-TPU FORCE_MODE="stripes" path.
+
+    Returns (idx (B, M, nsample) int32, rel planes ((B, M, nsample) f32 x3)).
+    """
+    b, m = new_xyz.shape[:2]
+    n = xyz.shape[1]
+    stripes = nsample // 2
+    quantum = stripes * 128
+    n_pad = (-n) % quantum
+    xyz_p = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, n_pad), (0, 0)),
+                    constant_values=1e9) if n_pad else xyz.astype(jnp.float32)
+    np_ = xyz_p.shape[1]
+    w = np_ // stripes
+    r2 = jnp.float32(radius * radius)
+    big = jnp.int32(_BIG)
+
+    blk = _block_size(m, 64)
+    nblk = m // blk
+
+    def step(_, centers):  # centers: (B, blk, 3)
+        d2 = pairwise_sqdist(centers, xyz_p).reshape(b, blk, stripes, w)
+        mask = d2 < r2
+        lidx = jnp.arange(w, dtype=jnp.int32)
+        fst = jnp.min(jnp.where(mask, lidx, big), axis=-1)  # (B, blk, stripes)
+        lst = jnp.max(jnp.where(mask, lidx, -1), axis=-1)
+        found = jnp.any(mask, axis=-1)
+        base = (jnp.arange(stripes, dtype=jnp.int32) * w)[None, None, :]
+        gfst = jnp.where(found, fst + base, big)
+        glst = jnp.where(found, lst + base, big)
+
+        # interleave (fst_0, lst_0, fst_1, lst_1, ...) into the slot axis
+        idxs = jnp.stack([gfst, glst], axis=-1).reshape(b, blk, nsample)
+        first_all = jnp.min(gfst, axis=-1, keepdims=True)  # (B, blk, 1)
+        found_any = first_all < big
+        fill_idx = jnp.where(found_any, first_all, 0)
+        missing = idxs >= big
+        idx_final = jnp.where(missing, fill_idx, idxs).astype(jnp.int32)
+
+        sel = jnp.take_along_axis(xyz_p, idx_final.reshape(b, -1, 1), axis=1)
+        rel = sel.reshape(b, blk, nsample, 3) - centers[:, :, None, :]
+        rel = jnp.where((missing & ~found_any)[..., None], 0.0, rel)
+        return None, (idx_final, rel)
+
+    centers = jnp.moveaxis(new_xyz.astype(jnp.float32).reshape(b, nblk, blk, 3), 1, 0)
+    _, (idx, rel) = lax.scan(step, None, centers)
+    idx = jnp.moveaxis(idx, 0, 1).reshape(b, m, nsample)
+    rel = jnp.moveaxis(rel, 0, 1).reshape(b, m, nsample, 3)
+    return idx, (rel[..., 0], rel[..., 1], rel[..., 2])
+
+
 def group_points(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Grouped gather: ``out[b, m, s, c] = points[b, idx[b, m, s], c]``.
 
@@ -368,10 +434,19 @@ def query_and_group(
       (B, M, nsample, 3 + C) grouped features (xyz offsets first when
       ``use_xyz``), optionally also the recentered grouped xyz.
     """
-    fast = (jax.default_backend() == "tpu" and nsample % 2 == 0 and not sample_uniformly)
+    on_tpu = jax.default_backend() == "tpu"
+    stripes_ok = nsample % 2 == 0 and not sample_uniformly
+    if FORCE_MODE == "exact":
+        fast = False
+    elif FORCE_MODE == "stripes":
+        fast = stripes_ok
+    else:
+        fast = on_tpu and stripes_ok
     if fast:
         # fused Pallas path: selection + recentered xyz in one VMEM sweep
-        idx, rel = _ball_query_stripes(radius, nsample, xyz, new_xyz)
+        # (XLA emulation of the same selection rule off-TPU)
+        stripe_fn = _ball_query_stripes if on_tpu else _ball_query_stripes_xla
+        idx, rel = stripe_fn(radius, nsample, xyz, new_xyz)
         grouped_xyz = jnp.stack(rel, axis=-1)
     else:
         idx = ball_query(radius, nsample, xyz, new_xyz)

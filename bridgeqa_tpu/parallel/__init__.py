@@ -11,8 +11,11 @@ collective storm).
 from bridgeqa_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    initialize_distributed,
+    replicate_array,
     replicated_sharding,
     shard_batch,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "initialize_distributed", "replicate_array",
+           "replicated_sharding", "shard_batch"]

@@ -32,15 +32,50 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Multi-host entry: ``jax.distributed.initialize`` (replaces the
+    reference's torchrun + NCCL ``init_process_group`` at
+    ``scripts/train.py:181-187``). With no arguments, coordinator/process
+    info comes from the environment (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the cloud TPU metadata)."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Device-put every array in the batch dict with its batch axis sharded."""
+    """Device-put every array in the batch dict with its batch axis sharded.
+
+    Multi-process aware: when this process holds only a shard of the global
+    batch (``jax.process_count() > 1``), local arrays are assembled into
+    global ``jax.Array``s via ``make_array_from_process_local_data`` — the
+    equivalent of DDP's per-rank DistributedSampler batches."""
     sharding = batch_sharding(mesh)
     repl = replicated_sharding(mesh)
+    multiproc = jax.process_count() > 1
 
     def put(x):
-        # answer-list tables are replicated (no batch axis semantics)
+        # scalars (and anything without a batch axis) are replicated
         if x.ndim == 0:
+            if multiproc:
+                return jax.make_array_from_process_local_data(repl, np.asarray(x))
             return jax.device_put(x, repl)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
+
+
+def replicate_array(x, mesh: Mesh):
+    """Device-put a host array fully replicated (multi-process aware: every
+    process must hold the identical full array)."""
+    repl = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(repl, np.asarray(x))
+    return jax.device_put(x, repl)

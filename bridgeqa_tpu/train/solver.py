@@ -81,6 +81,9 @@ class Solver:
         self.best_epoch = -1
         self.global_iter = 0
         self.timer = PhaseTimer()
+        # multi-host: params are replicated, so only process 0 writes
+        # artifacts (the reference's rank-0-only saves, solver.py:659-660)
+        self.main_process = jax.process_index() == 0
 
     # --- schedules ------------------------------------------------------
     def bn_momentum(self, epoch: int) -> float:
@@ -96,13 +99,15 @@ class Solver:
             for epoch in range(start_epoch, self.cfg.epochs):
                 rng, epoch_rng = jax.random.split(rng)
                 state = self._train_epoch(state, train_loader, val_loader, epoch, epoch_rng)
-                checkpoints.save_params(self.run_dir, "model_last",
-                                        jax.device_get(state.params),
-                                        jax.device_get(state.batch_stats))
-                checkpoints.save_train_state(self.run_dir, state, epoch + 1)
+                if self.main_process:
+                    checkpoints.save_params(self.run_dir, "model_last",
+                                            jax.device_get(state.params),
+                                            jax.device_get(state.batch_stats))
+                    checkpoints.save_train_state(self.run_dir, state, epoch + 1)
         except KeyboardInterrupt:
             self.log.info("interrupted — saving resumable checkpoint")
-            checkpoints.save_train_state(self.run_dir, state, -1)
+            if self.main_process:
+                checkpoints.save_train_state(self.run_dir, state, -1)
             raise
         return state
 
@@ -183,11 +188,12 @@ class Solver:
             self.best_criterion = crit
             self.best_epoch = epoch
             self.log.info(f"new best {cfg.cur_criterion}={crit:.4f} — saving model")
-            checkpoints.save_params(self.run_dir, "model",
-                                    jax.device_get(state.params),
-                                    jax.device_get(state.batch_stats))
-            if preds:
-                self._write_predictions_csv(preds)
+            if self.main_process:
+                checkpoints.save_params(self.run_dir, "model",
+                                        jax.device_get(state.params),
+                                        jax.device_get(state.batch_stats))
+                if preds:
+                    self._write_predictions_csv(preds)
         return state
 
     def _write_predictions_csv(self, preds):
@@ -210,7 +216,7 @@ class Solver:
 
     def _device_array(self, v):
         if self.mesh is not None:
-            from bridgeqa_tpu.parallel import replicated_sharding
+            from bridgeqa_tpu.parallel import replicate_array
 
-            return jax.device_put(np.asarray(v), replicated_sharding(self.mesh))
+            return replicate_array(np.asarray(v), self.mesh)
         return jax.device_put(np.asarray(v))

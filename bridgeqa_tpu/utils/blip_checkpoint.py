@@ -198,6 +198,33 @@ def convert_blip_vqa(sd, *, image_size: int = 480, patch_size: int = 16,
         scene_prefix = "text_decoder_scene" \
             if "text_decoder_scene.bert.embeddings.word_embeddings.weight" in sd else "text_decoder"
         params["text_decoder_scene"] = convert_lm_head(sd, scene_prefix, vocab_size)
+
+    # fine-tuned BridgeQA checkpoints also carry the adapter / fusion heads
+    # (blip_vqa_3d.py:105-160: index-keyed nn.Sequential modules)
+    if "linear_scene_object.0.weight" in sd:
+        params["linear_scene_object"] = {
+            "fc1": _linear(sd, "linear_scene_object.0"),
+            "fc2": _linear(sd, "linear_scene_object.3"),
+            "norm": _layernorm(sd, "linear_scene_object.5"),
+        }
+    if "lowrank_2d.weight" in sd:
+        params["lowrank_2d"] = _linear(sd, "lowrank_2d")
+        params["lowrank_3d"] = _linear(sd, "lowrank_3d")
+        # torch nn.Bilinear weight is (out, in1, in2) == our einsum kernel layout
+        params["bilinear_fusion_kernel"] = np.asarray(sd["bilinear_fusion.weight"])
+        params["bilinear_fusion_bias"] = np.asarray(sd["bilinear_fusion.bias"])
+    if "answer_cls.0.weight" in sd:
+        params["answer_cls"] = {
+            "fc1": _linear(sd, "answer_cls.0"),
+            "norm": _layernorm(sd, "answer_cls.3"),
+            "fc2": _linear(sd, "answer_cls.4"),
+        }
+    if "answer_cls_2d3d.0.weight" in sd:
+        params["answer_cls_2d3d"] = {
+            "fc1": _linear(sd, "answer_cls_2d3d.0"),
+            "norm": _layernorm(sd, "answer_cls_2d3d.3"),
+            "fc2": _linear(sd, "answer_cls_2d3d.4"),
+        }
     return params
 
 

@@ -286,8 +286,9 @@ def build_datasets(args, *, splits=("train", "val")):
     return datasets, tokenizer, answer_cands, answer_counter
 
 
-def make_loader(dataset, args, *, shuffle, seed=0):
-    return BatchIterator(dataset, args.batch_size, shuffle=shuffle, seed=seed)
+def make_loader(dataset, args, *, shuffle, seed=0, num_shards=1, shard_index=0):
+    return BatchIterator(dataset, args.batch_size, shuffle=shuffle, seed=seed,
+                         num_shards=num_shards, shard_index=shard_index)
 
 
 def args_to_dict(args):

@@ -51,6 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--cur_criterion", type=str, default="answer_acc_at1")
     p.add_argument("--max_iters_per_epoch", type=int, default=0)
     p.add_argument("--k_test", type=int, default=256)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() (coordinator from env: "
+                        "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or "
+                        "cloud TPU metadata); batch_size is PER PROCESS")
     p.add_argument("--use_checkpoint", type=str, default=None,
                    help="run dir to resume from (checkpoint.tar equivalent)")
     p.add_argument("--first_stage_ckpt_path", type=str, default=None,
@@ -61,6 +65,12 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.distributed:
+        # multi-host entry — replaces torchrun + NCCL env:// init
+        # (reference scripts/train.py:181-187)
+        from bridgeqa_tpu.parallel import initialize_distributed
+
+        initialize_distributed()
     if args.stage == "DET":
         args.no_answer = True  # train.py:632-636
         args.no_blip = True
@@ -69,15 +79,22 @@ def main(argv=None):
 
     run_dir = os.path.join(args.output_root, args.tag)
     logger = RunLogger(run_dir)
-    logger.info(f"devices: {jax.devices()}")
+    logger.info(f"process {jax.process_index()}/{jax.process_count()}, "
+                f"devices: {jax.local_device_count()} local / {len(jax.devices())} global")
 
     datasets, tokenizer, answer_cands, answer_counter = common.build_datasets(args)
     logger.info(f"train {len(datasets['train'])} / val {len(datasets['val'])} samples, "
                 f"{len(answer_cands)} answers")
     model, cfg, dc = common.build_model(args, num_answers=max(len(answer_cands), 1))
 
-    train_loader = common.make_loader(datasets["train"], args, shuffle=True, seed=args.seed)
-    val_loader = common.make_loader(datasets["val"], args, shuffle=False)
+    # per-process loader shards (the DistributedSampler equivalent,
+    # reference train.py:241-247); shard_batch assembles the global array
+    train_loader = common.make_loader(datasets["train"], args, shuffle=True, seed=args.seed,
+                                      num_shards=jax.process_count(),
+                                      shard_index=jax.process_index())
+    val_loader = common.make_loader(datasets["val"], args, shuffle=False,
+                                    num_shards=jax.process_count(),
+                                    shard_index=jax.process_index())
 
     # --- init params from one example batch
     example = next(iter(train_loader))
@@ -109,15 +126,25 @@ def main(argv=None):
         logger.info(f"resumed from {args.use_checkpoint} at epoch {start_epoch}")
 
     # data axis must divide the global batch; drop devices if it doesn't
+    # (single-process only — a multi-host mesh must contain every process's
+    # local devices, so there the division is a hard requirement)
+    global_batch = args.batch_size * jax.process_count()
     n_dev = len(jax.devices())
-    while args.batch_size % n_dev:
-        n_dev -= 1
+    if jax.process_count() > 1:
+        if global_batch % n_dev:
+            raise ValueError(f"global batch {global_batch} must divide over {n_dev} devices")
+    else:
+        while global_batch % n_dev:
+            n_dev -= 1
     mesh = make_mesh(jax.devices()[:n_dev])
     if n_dev != len(jax.devices()):
         logger.info(f"using {n_dev}/{len(jax.devices())} devices (batch {args.batch_size})")
-    from bridgeqa_tpu.parallel import replicated_sharding
+    from bridgeqa_tpu.parallel import replicate_array, replicated_sharding
 
-    state = jax.device_put(state, replicated_sharding(mesh))
+    if jax.process_count() > 1:
+        state = jax.tree.map(lambda a: replicate_array(np.asarray(a), mesh), state)
+    else:
+        state = jax.device_put(state, replicated_sharding(mesh))
 
     step_cfg = StepConfig(detection=True, use_reference=not args.no_reference,
                           use_lang_classifier=not args.no_lang_cls,
@@ -165,10 +192,11 @@ def main(argv=None):
                     logger=logger, eval_metrics_fn=eval_metrics,
                     extra_eval_inputs=extra_eval, predictions_fn=predictions)
 
-    checkpoints.save_run_info(run_dir, common.args_to_dict(args))
-    checkpoints.save_answer_vocab(run_dir, answer_cands, answer_counter)
-    with open(os.path.join(run_dir, "cmdline.txt"), "w") as f:  # solver.py:331-336
-        f.write(" ".join(sys.argv) + "\n")
+    if jax.process_index() == 0:
+        checkpoints.save_run_info(run_dir, common.args_to_dict(args))
+        checkpoints.save_answer_vocab(run_dir, answer_cands, answer_counter)
+        with open(os.path.join(run_dir, "cmdline.txt"), "w") as f:  # solver.py:331-336
+            f.write(" ".join(sys.argv) + "\n")
 
     state = solver(state, train_loader, val_loader, rng=jax.random.PRNGKey(args.seed + 2),
                    start_epoch=start_epoch)

@@ -1,0 +1,60 @@
+"""Worker process for tests/test_multihost.py (2-process CPU distributed).
+
+Exercises the real multi-host wiring: ``initialize_distributed`` (Gloo
+coordinator), per-process ``BatchIterator`` sharding (the DistributedSampler
+equivalent), ``shard_batch``'s ``make_array_from_process_local_data`` path,
+replicated params, and a jitted grad step whose gradient reduction crosses
+processes. Prints one JSON line with the loss and a param fingerprint.
+"""
+
+import json
+import os
+import sys
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = sys.argv[3]
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bridgeqa_tpu.parallel import (  # noqa: E402
+    initialize_distributed,
+    make_mesh,
+    replicate_array,
+    shard_batch,
+)
+
+initialize_distributed(f"localhost:{port}", num_processes=nproc, process_id=pid)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+from flax import linen as nn  # noqa: E402
+
+from tests.toy_data import ToyDataset, toy_model_params_and_step  # noqa: E402
+from bridgeqa_tpu.data.pipeline import BatchIterator  # noqa: E402
+
+assert jax.process_count() == nproc, jax.process_count()
+assert jax.local_device_count() == 4
+
+mesh = make_mesh(jax.devices())  # 8 global devices
+loader = BatchIterator(ToyDataset(), batch_size=4, shuffle=True, seed=0,
+                       num_shards=nproc, shard_index=pid)
+local = next(iter(loader))
+gbatch = shard_batch(local, mesh)
+assert gbatch["x"].shape == (4 * nproc, 6), gbatch["x"].shape
+
+model, params, tx, opt_state, step = toy_model_params_and_step()
+params = jax.tree.map(lambda a: replicate_array(np.asarray(a), mesh), params)
+opt_state = jax.tree.map(lambda a: replicate_array(np.asarray(a), mesh), opt_state)
+
+params, opt_state, loss = step(params, opt_state, gbatch)
+params, opt_state, loss2 = step(params, opt_state, gbatch)
+fingerprint = float(jnp.sum(jnp.abs(params["params"]["kernel"])))
+print(json.dumps({"pid": pid, "loss": float(loss), "loss2": float(loss2),
+                  "fingerprint": fingerprint}), flush=True)

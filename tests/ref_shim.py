@@ -1,0 +1,168 @@
+"""Shared import shims for golden tests against the reference snapshot.
+
+The read-only reference at /root/reference targets older transformers /
+soft deps; these shims let its pure-torch modules import and run on CPU so
+our JAX implementations can be compared against the reference's own code.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+
+
+def install_reference_shims():
+    """Idempotent: make ``import models.med`` etc. work from /root/reference."""
+    import torch
+    import transformers.modeling_utils as mu
+    import transformers.pytorch_utils as pu
+
+    for name in ("apply_chunking_to_forward", "find_pruneable_heads_and_indices",
+                 "prune_linear_layer"):
+        if not hasattr(mu, name) and hasattr(pu, name):
+            setattr(mu, name, getattr(pu, name))
+    if "icecream" not in sys.modules:
+        ice = types.ModuleType("icecream")
+        ice.ic = lambda *a, **k: (a[0] if a else None)
+        sys.modules["icecream"] = ice
+    for soft_dep in ("trimesh", "easydict", "tensorboardX", "wandb", "plyfile"):
+        if soft_dep not in sys.modules:
+            try:
+                __import__(soft_dep)
+            except ImportError:
+                stub = types.ModuleType(soft_dep)
+                stub.PlyData = stub.PlyElement = object  # plyfile symbols
+                sys.modules[soft_dep] = stub
+    # the snapshot's data/ package is dangling; satisfy the import with our
+    # semantics-compatible dataset config
+    if "data.scannet.model_util_scannet" not in sys.modules:
+        from bridgeqa_tpu.data.scannet_config import (
+            ScannetDatasetConfig,
+            rotate_aligned_boxes_along_axis,
+        )
+
+        data_pkg = types.ModuleType("data")
+        scannet_pkg = types.ModuleType("data.scannet")
+        util = types.ModuleType("data.scannet.model_util_scannet")
+        util.ScannetDatasetConfig = ScannetDatasetConfig
+        util.rotate_aligned_boxes_along_axis = rotate_aligned_boxes_along_axis
+
+        def extract_pc_in_box3d(pc, box3d):  # axis-aligned in-hull test
+            mn, mx = box3d.min(0), box3d.max(0)
+            mask = np.all((pc[:, :3] >= mn) & (pc[:, :3] <= mx), axis=1)
+            return pc[mask], mask
+
+        util.extract_pc_in_box3d = extract_pc_in_box3d
+        sys.modules["data"] = data_pkg
+        sys.modules["data.scannet"] = scannet_pkg
+        sys.modules["data.scannet.model_util_scannet"] = util
+
+    _install_timm_shim(torch)
+
+    # the reference hard-codes .cuda(); run it on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.cuda.FloatTensor = torch.FloatTensor
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+
+
+def _install_timm_shim(torch):
+    """Minimal real implementations of the few timm/fairscale symbols the
+    reference ``models/vit.py`` imports (timm isn't in this image). Only
+    PatchEmbed carries weights; its state-dict keys (``proj.weight/bias``)
+    match timm's, which the checkpoint converter relies on."""
+    if "timm" in sys.modules:
+        return
+    nn = torch.nn
+
+    class PatchEmbed(nn.Module):
+        def __init__(self, img_size=224, patch_size=16, in_chans=3, embed_dim=768,
+                     norm_layer=None, flatten=True):
+            super().__init__()
+            self.img_size = (img_size, img_size) if isinstance(img_size, int) else img_size
+            self.patch_size = (patch_size, patch_size) if isinstance(patch_size, int) else patch_size
+            self.num_patches = (self.img_size[0] // self.patch_size[0]) * (
+                self.img_size[1] // self.patch_size[1])
+            self.flatten = flatten
+            self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size, stride=patch_size)
+            self.norm = norm_layer(embed_dim) if norm_layer else nn.Identity()
+
+        def forward(self, x):
+            x = self.proj(x)
+            if self.flatten:
+                x = x.flatten(2).transpose(1, 2)
+            return self.norm(x)
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob or 0.0
+
+        def forward(self, x):
+            if self.drop_prob == 0.0 or not self.training:
+                return x
+            keep = 1 - self.drop_prob
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            rand = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+            return x.div(keep) * rand.floor_()
+
+    def named_apply(fn, module, name="", depth_first=True, include_root=False):
+        if not depth_first and include_root:
+            fn(module=module, name=name)
+        for child_name, child in module.named_children():
+            child_name = f"{name}.{child_name}" if name else child_name
+            named_apply(fn, child, child_name, depth_first, True)
+        if depth_first and include_root:
+            fn(module=module, name=name)
+        return module
+
+    timm = types.ModuleType("timm")
+    models = types.ModuleType("timm.models")
+    vt = types.ModuleType("timm.models.vision_transformer")
+    vt._cfg = lambda url="", **kwargs: dict(url=url, **kwargs)
+    vt.PatchEmbed = PatchEmbed
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = lambda fn: fn
+    layers = types.ModuleType("timm.models.layers")
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    layers.DropPath = DropPath
+    helpers = types.ModuleType("timm.models.helpers")
+    helpers.named_apply = named_apply
+    helpers.adapt_input_conv = lambda in_chans, conv_weight: conv_weight
+    hub = types.ModuleType("timm.models.hub")
+
+    def download_cached_file(*a, **k):
+        raise RuntimeError("no network in the test environment")
+
+    hub.download_cached_file = download_cached_file
+    timm.models = models
+    models.vision_transformer = vt
+    models.registry = registry
+    models.layers = layers
+    models.helpers = helpers
+    models.hub = hub
+    sys.modules.update({
+        "timm": timm, "timm.models": models, "timm.models.vision_transformer": vt,
+        "timm.models.registry": registry, "timm.models.layers": layers,
+        "timm.models.helpers": helpers, "timm.models.hub": hub,
+    })
+
+    if "fairscale" not in sys.modules:
+        fairscale = types.ModuleType("fairscale")
+        fs_nn = types.ModuleType("fairscale.nn")
+        fs_ckpt = types.ModuleType("fairscale.nn.checkpoint")
+        fs_ca = types.ModuleType("fairscale.nn.checkpoint.checkpoint_activations")
+        fs_ca.checkpoint_wrapper = lambda module, *a, **k: module
+        fairscale.nn = fs_nn
+        fs_nn.checkpoint = fs_ckpt
+        fs_ckpt.checkpoint_activations = fs_ca
+        sys.modules.update({
+            "fairscale": fairscale, "fairscale.nn": fs_nn,
+            "fairscale.nn.checkpoint": fs_ckpt,
+            "fairscale.nn.checkpoint.checkpoint_activations": fs_ca,
+        })

@@ -134,3 +134,61 @@ class TestBlipGenerate:
         assert ids.shape == (b, 6)
         assert (ids[:, 0] == model.cfg.bos_token_id).all()
         assert np.isfinite(np.asarray(fused)).all()
+
+
+class TestKVCacheParity:
+    """The cached decode path must reproduce the re-run path exactly when all
+    beam rows of a sample share one encoder stream (the only case where the
+    two reordering semantics coincide — see beam_search_cached docstring)."""
+
+    def _decoder(self):
+        from bridgeqa_tpu.models.med import BertLMHeadModel, MedConfig
+
+        cfg = MedConfig(vocab_size=40, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=32, encoder_width=32)
+        m = BertLMHeadModel(cfg)
+        rng = np.random.RandomState(1)
+        B, K, LQ = 2, 4, 5
+        q_states = jnp.asarray(np.repeat(rng.rand(B, LQ, 32).astype(np.float32), K, axis=0))
+        q_mask = np.ones((B, LQ), np.int64)
+        q_mask[1, 3:] = 0  # ragged question
+        q_mask = jnp.asarray(np.repeat(q_mask, K, axis=0))
+        ids = jnp.asarray(rng.randint(1, 40, (B * K, 3)))
+        v = m.init(jax.random.PRNGKey(0), ids, jnp.ones_like(ids), q_states, q_mask,
+                   deterministic=True)
+        return m, v, q_states, q_mask, B, K
+
+    def test_cached_equals_uncached_single_stream(self):
+        from bridgeqa_tpu.models.generation import beam_search, beam_search_cached
+
+        m, v, q_states, q_mask, B, K = self._decoder()
+        ML = 8
+
+        def decode_fn(flat_ids, flat_mask):
+            logits, _ = m.apply(v, flat_ids, flat_mask, q_states, q_mask, deterministic=True)
+            return logits
+
+        ids_u, sc_u = beam_search(decode_fn, B, K, bos_token_id=30, eos_token_id=4,
+                                  pad_token_id=0, max_length=ML, min_length=2)
+
+        cache = m.apply(v, q_states, q_mask, ML, method="init_cache")
+
+        def decode_step_fn(tok, c):
+            return m.apply(v, tok, c, method="decode_step")
+
+        ids_c, sc_c = beam_search_cached(decode_step_fn, cache, B, K, bos_token_id=30,
+                                         eos_token_id=4, pad_token_id=0, max_length=ML,
+                                         min_length=2)
+        np.testing.assert_array_equal(np.asarray(ids_u), np.asarray(ids_c))
+        np.testing.assert_allclose(np.asarray(sc_u), np.asarray(sc_c), rtol=2e-5, atol=2e-5)
+
+    def test_generate_kv_cache_shapes(self, tiny_blip_model_and_inputs):
+        model, variables, inputs = tiny_blip_model_and_inputs
+        best_ids, fused, qmask = model.apply(
+            variables, inputs["image"], inputs["question_ids"], inputs["question_mask"],
+            inputs["scene_object_embeds"], inputs["scene_object_mask"],
+            num_beams=2, max_length=6, method="generate",
+        )
+        assert best_ids.shape == (2, 6)
+        assert np.isfinite(np.asarray(fused, np.float32)).all()

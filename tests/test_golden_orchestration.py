@@ -1,0 +1,415 @@
+"""Golden parity tests for the ORCHESTRATION layer against the reference.
+
+Round-1 verdict item 3: the module-level golden tests (twin encoder, voting,
+losses) left the composition layer unpinned. These run the reference's own
+CPU-runnable torch/numpy code and compare:
+
+- ``BLIP_VQA3D`` full train forward + ``rank_answer`` ensemble
+  (``models/blip_vqa_3d.py:227-566``) with converter-shared weights;
+- ``parse_predictions`` + ``APCalculator``/``eval_det``
+  (``lib/ap_helper.py:40-279``, ``utils/eval_det.py:57-236``) on canned
+  detector outputs;
+- ``prep_ans`` answer normalization (``lib/qa_helper.py:101-105``).
+
+Skipped automatically when the reference snapshot is unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tests.ref_shim import REFERENCE, install_reference_shims
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="no reference snapshot")
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def refmods():
+    install_reference_shims()
+    import lib.ap_helper as ap_helper
+    import lib.qa_helper as qa_helper
+    import utils.eval_det as eval_det
+
+    return types.SimpleNamespace(ap_helper=ap_helper, qa_helper=qa_helper, eval_det=eval_det)
+
+
+class TestPrepAnsGolden:
+    CASES = [
+        "a brown chair", "the 3 chairs", "it's on the left", "one hundred", "2",
+        "couch, with pillows", "don't know", "shouldnt", "on top of the desk.",
+        "red/green", "semi-circle;", "3.5 meters", "twenty two", "a", "an apple",
+        "  spaced  out  ", "What?!", "x-ray machine's", "nine", "no", "none",
+        "cant see it", "youre right", "its a trashcan", "0", "10 feet", "TV stand",
+    ]
+
+    def test_prep_ans_matches_reference(self, refmods):
+        from bridgeqa_tpu.eval.scoring import prep_ans
+
+        for s in self.CASES:
+            assert prep_ans(s) == refmods.qa_helper.prep_ans(s), repr(s)
+
+
+def _canned_end_points(rng, b=2, k=32, n=1024, num_class=18):
+    """Random but plausible detector outputs shared by both sides."""
+    return dict(
+        center=rng.uniform(-3, 3, (b, k, 3)).astype(np.float32),
+        heading_scores=rng.randn(b, k, 1).astype(np.float32),
+        heading_residuals=rng.randn(b, k, 1).astype(np.float32) * 0.1,
+        size_scores=rng.randn(b, k, num_class).astype(np.float32),
+        size_residuals=(rng.randn(b, k, num_class, 3) * 0.1).astype(np.float32),
+        sem_cls_scores=rng.randn(b, k, num_class).astype(np.float32),
+        objectness_scores=rng.randn(b, k, 2).astype(np.float32),
+        point_clouds=rng.uniform(-3, 3, (b, n, 3)).astype(np.float32),
+    )
+
+
+def _ref_config_dict(dc, **over):
+    cfg = dict(dataset_config=dc, remove_empty_box=False, use_3d_nms=True, cls_nms=True,
+               nms_iou=0.25, use_old_type_nms=False, conf_thresh=0.05,
+               per_class_proposal=True)
+    cfg.update(over)
+    return cfg
+
+
+class TestParsePredictionsGolden:
+    @pytest.mark.parametrize("variant", [
+        dict(),                                        # 3D NMS + cls (the eval default)
+        dict(cls_nms=False),                           # plain 3D NMS
+        dict(use_3d_nms=False),                        # 2D NMS
+        dict(remove_empty_box=True),                   # with the point-in-box filter
+        dict(per_class_proposal=False),
+    ])
+    def test_matches_reference(self, refmods, variant):
+        from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
+        from bridgeqa_tpu.eval.detection_eval import parse_predictions
+
+        dc = ScannetDatasetConfig()
+        rng = np.random.RandomState(7)
+        ep = _canned_end_points(rng)
+
+        ref_ep = {key: torch.from_numpy(v.copy()) for key, v in ep.items()}
+        ref_out = refmods.ap_helper.parse_predictions(ref_ep, _ref_config_dict(dc, **variant))
+
+        ours_ep = {key: v.copy() for key, v in ep.items()}
+        our_out = parse_predictions(ours_ep, _ref_config_dict(dc, **variant))
+
+        np.testing.assert_array_equal(
+            np.asarray(ours_ep["pred_mask"]), np.asarray(ref_ep["pred_mask"]))
+        assert len(our_out) == len(ref_out)
+        for ours_i, ref_i in zip(our_out, ref_out):
+            assert len(ours_i) == len(ref_i)
+            for (c0, box0, s0), (c1, box1, s1) in zip(ours_i, ref_i):
+                assert int(c0) == int(c1)
+                np.testing.assert_allclose(box0, box1, atol=1e-4)
+                np.testing.assert_allclose(s0, s1, rtol=1e-4)
+
+
+class TestEvalDetGolden:
+    def _canned_sets(self, rng, n_img=4, num_class=5):
+        pred_all, gt_all = {}, {}
+        for img in range(n_img):
+            preds, gts = [], []
+            for _ in range(rng.randint(3, 9)):
+                ctr = rng.uniform(-2, 2, 3)
+                sz = rng.uniform(0.3, 1.2, 3)
+                corners = np.stack([ctr + sz / 2 * np.array([sx, sy, sz_])
+                                    for sx in (-1, 1) for sy in (-1, 1) for sz_ in (-1, 1)])
+                gts.append((rng.randint(num_class), corners))
+            for cls, corners in gts:
+                if rng.rand() < 0.8:  # jittered TP candidates
+                    preds.append((cls, corners + rng.randn(8, 3) * 0.05, float(rng.rand())))
+            for _ in range(rng.randint(1, 4)):  # false positives
+                ctr = rng.uniform(-2, 2, 3)
+                sz = rng.uniform(0.3, 1.2, 3)
+                corners = np.stack([ctr + sz / 2 * np.array([sx, sy, sz_])
+                                    for sx in (-1, 1) for sy in (-1, 1) for sz_ in (-1, 1)])
+                preds.append((rng.randint(num_class), corners, float(rng.rand())))
+            pred_all[img] = preds
+            gt_all[img] = gts
+        return pred_all, gt_all
+
+    def test_eval_det_matches_reference(self, refmods):
+        from bridgeqa_tpu.eval.detection_eval import eval_det
+
+        rng = np.random.RandomState(3)
+        pred_all, gt_all = self._canned_sets(rng)
+        # the corner-box path uses get_iou_obb (polygon IoU; == axis-aligned
+        # for heading-0 boxes) — the 6-vector default get_iou doesn't apply
+        ref_rec, ref_prec, ref_ap = refmods.eval_det.eval_det(
+            pred_all, gt_all, ovthresh=0.25, get_iou_func=refmods.eval_det.get_iou_obb)
+        our_rec, our_prec, our_ap = eval_det(pred_all, gt_all, ovthresh=0.25)
+
+        assert set(ref_ap) == set(our_ap)
+        for cls in ref_ap:
+            np.testing.assert_allclose(our_ap[cls], ref_ap[cls], rtol=1e-6, err_msg=f"cls {cls}")
+            np.testing.assert_allclose(our_rec[cls], ref_rec[cls], rtol=1e-6)
+            np.testing.assert_allclose(our_prec[cls], ref_prec[cls], rtol=1e-6)
+
+    def test_ap_calculator_matches_reference(self, refmods):
+        """Full APCalculator path on parse_predictions outputs (the reference
+        side matches with its polygon IoU because ScanNet boxes are
+        axis-aligned)."""
+        from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
+        from bridgeqa_tpu.eval.detection_eval import (
+            APCalculator,
+            parse_groundtruths,
+            parse_predictions,
+        )
+
+        dc = ScannetDatasetConfig()
+        rng = np.random.RandomState(11)
+        ep = _canned_end_points(rng)
+        ngt = 6
+        gt = dict(
+            center_label=rng.uniform(-3, 3, (2, ngt, 3)).astype(np.float32),
+            heading_class_label=np.zeros((2, ngt), np.int64),
+            heading_residual_label=np.zeros((2, ngt), np.float32),
+            size_class_label=rng.randint(0, 18, (2, ngt)),
+            size_residual_label=(rng.randn(2, ngt, 3) * 0.1).astype(np.float32),
+            box_label_mask=(rng.rand(2, ngt) < 0.8).astype(np.float32),
+            sem_cls_label=rng.randint(0, 18, (2, ngt)),
+        )
+
+        ref_ep = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in {**ep, **gt}.items()}
+        ref_pred = refmods.ap_helper.parse_predictions(ref_ep, _ref_config_dict(dc))
+        ref_gt = refmods.ap_helper.parse_groundtruths(ref_ep, _ref_config_dict(dc))
+        ref_calc = refmods.ap_helper.APCalculator(0.25, dc.class2type)
+        ref_calc.step(ref_pred, ref_gt)
+        ref_metrics = ref_calc.compute_metrics()
+
+        our_ep = {k: np.asarray(v).copy() for k, v in {**ep, **gt}.items()}
+        our_pred = parse_predictions(our_ep, _ref_config_dict(dc))
+        our_gt = parse_groundtruths(our_ep, _ref_config_dict(dc))
+        our_calc = APCalculator(0.25, dc.class2type)
+        our_calc.step(our_pred, our_gt)
+        our_metrics = our_calc.compute_metrics()
+
+        for key in ("mAP", "AR"):
+            np.testing.assert_allclose(our_metrics[key], ref_metrics[key], rtol=1e-5,
+                                       err_msg=key)
+        for key, val in ref_metrics.items():
+            assert key in our_metrics, key
+            np.testing.assert_allclose(our_metrics[key], val, rtol=1e-5, err_msg=key)
+
+
+# ---------------------------------------------------------------------------
+# Full BLIP_VQA3D forward / rank_answer golden
+# ---------------------------------------------------------------------------
+
+
+class _FakeTokenizer:
+    """Stands in for the (offline-unavailable) HF BertTokenizer: maps known
+    strings to canned token-id sequences with 'longest' padding. Only the
+    surface BLIP_VQA3D.forward touches is implemented."""
+
+    enc_token_id = 30523
+    bos_token_id = 30522
+    sep_token_id = 102
+    pad_token_id = 0
+
+    def __init__(self, table):
+        self.table = table
+
+    def __call__(self, texts, padding="longest", truncation=True, max_length=None,
+                 return_tensors="pt"):
+        ids = [list(self.table[t]) for t in texts]
+        if max_length is not None and truncation:
+            ids = [x[:max_length] for x in ids]
+        length = max(len(x) for x in ids)
+        input_ids = torch.zeros(len(ids), length, dtype=torch.long)
+        attention_mask = torch.zeros(len(ids), length, dtype=torch.long)
+        for i, x in enumerate(ids):
+            input_ids[i, : len(x)] = torch.tensor(x)
+            attention_mask[i, : len(x)] = 1
+
+        class Batch:
+            def to(self, device):
+                return self
+
+        out = Batch()
+        out.input_ids = input_ids
+        out.attention_mask = attention_mask
+        return out
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(int(i)) for i in ids)
+
+
+def _pad_ids(table, keys, first_token=None):
+    """Host-side equivalent of the fake tokenizer for the JAX inputs."""
+    ids = [list(table[k]) for k in keys]
+    length = max(len(x) for x in ids)
+    out = np.zeros((len(ids), length), np.int64)
+    mask = np.zeros((len(ids), length), np.int64)
+    for i, x in enumerate(ids):
+        out[i, : len(x)] = x
+        mask[i, : len(x)] = 1
+    if first_token is not None:
+        out[:, 0] = first_token
+    return out, mask
+
+
+@pytest.fixture(scope="module")
+def vqa3d_pair(refmods):
+    """(torch reference model, flax model + converted params, shared inputs)."""
+    import jax
+
+    from bridgeqa_tpu.models.blip_vqa3d import BLIPVQA3D, BlipVQA3DConfig
+    from bridgeqa_tpu.models.med import MedConfig
+    from bridgeqa_tpu.utils.blip_checkpoint import convert_blip_vqa, merge_pretrained
+
+    import models.blip_vqa_3d as ref_vqa3d
+
+    rng = np.random.RandomState(0)
+    questions = ["q0", "q1"]
+    answers = [f"a{i}" for i in range(8)]
+    table = {}
+    for i, q in enumerate(questions):
+        table[q] = [101] + list(rng.randint(1000, 29000, 5 + 2 * i)) + [102]
+    for i, a in enumerate(answers):
+        table[a] = [101] + list(rng.randint(1000, 29000, 1 + (i % 3))) + [102]
+
+    ref_vqa3d.init_tokenizer = lambda: _FakeTokenizer(table)
+    torch.manual_seed(0)
+    ref_model = ref_vqa3d.BLIP_VQA3D(
+        image_size=48, vit="base", scene_size=16, num_answers=len(answers),
+        use_text_decoder=True, scene_feature_position="paralleltwin",
+        encoder_layers=2, decoder_layers=2,
+    ).eval()
+
+    med = MedConfig()
+    cfg = BlipVQA3DConfig(
+        med=med, image_size=48, vit="base", scene_size=16, num_answers=len(answers),
+        use_text_decoder=True, encoder_layers=2, decoder_layers=2,
+        vit_drop_path_rate=0.0,
+    )
+    model = BLIPVQA3D(cfg)
+
+    b = len(questions)
+    image = rng.rand(b, 48, 48, 3).astype(np.float32)
+    scene = rng.randn(b, 5, 16).astype(np.float32)
+    scene_mask = np.array([[1, 1, 1, 1, 1], [1, 1, 1, 0, 0]], np.int64)
+    q_ids, q_mask = _pad_ids(table, questions, first_token=_FakeTokenizer.enc_token_id)
+    a_ids, a_mask = _pad_ids(table, ["a0", "a1"], first_token=_FakeTokenizer.bos_token_id)
+    alist_ids, alist_mask = _pad_ids(table, answers, first_token=_FakeTokenizer.bos_token_id)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        image, q_ids, q_mask, a_ids, a_mask, scene, scene_mask, train=False,
+    )
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    converted = convert_blip_vqa(sd, image_size=48)
+    merged, loaded, skipped = merge_pretrained(variables["params"], converted)
+    real_skips = [s for s in skipped if "no such param" not in s]
+    assert not real_skips, real_skips
+    variables = {"params": merged}
+
+    return types.SimpleNamespace(
+        ref_model=ref_model, model=model, variables=variables, table=table,
+        questions=questions, answers=answers, image=image, scene=scene,
+        scene_mask=scene_mask, q_ids=q_ids, q_mask=q_mask, a_ids=a_ids, a_mask=a_mask,
+        alist_ids=alist_ids, alist_mask=alist_mask,
+    )
+
+
+class TestBlipVQA3DGolden:
+    def test_train_forward_matches_reference(self, vqa3d_pair):
+        p = vqa3d_pair
+        image_t = torch.from_numpy(p.image.transpose(0, 3, 1, 2))  # ref is NCHW
+        with torch.no_grad():
+            ref_loss, ref_hidden, _ = p.ref_model(
+                image_t, p.questions, answer=["a0", "a1"], train=True,
+                scene_object_embeds=torch.from_numpy(p.scene),
+                scene_object_mask=torch.from_numpy(p.scene_mask),
+                data_dict={},
+            )
+        our_loss, our_hidden, _ = p.model.apply(
+            p.variables, p.image, p.q_ids, p.q_mask, p.a_ids, p.a_mask,
+            p.scene, p.scene_mask, train=False,
+        )
+        np.testing.assert_allclose(float(our_loss), float(ref_loss), rtol=5e-4)
+        np.testing.assert_allclose(np.asarray(our_hidden), ref_hidden.numpy(),
+                                   rtol=5e-3, atol=1e-3)
+
+    def test_rank_matches_reference(self, vqa3d_pair):
+        p = vqa3d_pair
+        image_t = torch.from_numpy(p.image.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            ref_hidden, ref_scores, _ = p.ref_model(
+                image_t, p.questions, answer=p.answers, train=False, inference="rank",
+                k_test=4,
+                scene_object_embeds=torch.from_numpy(p.scene),
+                scene_object_mask=torch.from_numpy(p.scene_mask),
+                data_dict={},
+            )
+        ref_ens, ref_scene, ref_2d, _ = ref_scores
+
+        our_hidden, our_scores, _ = p.model.apply(
+            p.variables, p.image, p.q_ids, p.q_mask, p.alist_ids, p.alist_mask,
+            p.scene, p.scene_mask, k_test=4, method="rank",
+        )
+        np.testing.assert_allclose(np.asarray(our_hidden), ref_hidden.numpy(),
+                                   rtol=5e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(our_scores["answer_scores_2d"]),
+                                   ref_2d.numpy(), rtol=5e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(our_scores["answer_scores_scene"]),
+                                   ref_scene.numpy(), rtol=5e-3, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(our_scores["answer_scores"]),
+                                   ref_ens.numpy(), rtol=5e-3, atol=1e-12)
+
+
+class TestENetConverterGolden:
+    """Round-1 verdict item 6: the torch7-ENet weight converter. Random
+    weights stand in for the unavailable ``scannetv2_enet.pth`` — converter
+    correctness is independent of checkpoint availability. The torch module
+    IS the reference's own ``create_enet`` Sequential."""
+
+    def test_feature_maps_match_reference(self, refmods):
+        import jax
+
+        from bridgeqa_tpu.models.enet import ENetClassifier, ENetEncoder
+        from bridgeqa_tpu.utils.enet_checkpoint import convert_enet
+
+        import lib.enet as ref_enet
+
+        torch.manual_seed(0)
+        model = ref_enet.create_enet(41).eval()
+        # randomize BN stats + PReLU slopes so the test is non-trivial
+        with torch.no_grad():
+            for mod in model.modules():
+                if isinstance(mod, torch.nn.BatchNorm2d):
+                    mod.running_mean.normal_(0, 0.5)
+                    mod.running_var.uniform_(0.5, 2.0)
+                    mod.weight.normal_(1.0, 0.2)
+                    mod.bias.normal_(0, 0.2)
+                if isinstance(mod, torch.nn.PReLU):
+                    mod.weight.uniform_(0.05, 0.5)
+
+        sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+        enc_vars, cls_vars = convert_enet(sd)
+
+        rng = np.random.RandomState(0)
+        img = rng.rand(2, 64, 96, 3).astype(np.float32)
+
+        with torch.no_grad():
+            # features = everything except the classifier (create_enet_for_3d
+            # model_fixed + model_trainable, enet.py:697-716)
+            feats_t = torch.from_numpy(img.transpose(0, 3, 1, 2))
+            for i in range(len(model) - 1):
+                feats_t = model[i](feats_t)
+            logits_t = model[len(model) - 1](feats_t)
+
+        enc = ENetEncoder()
+        feats_j = enc.apply(enc_vars, jax.numpy.asarray(img), train=False)
+        np.testing.assert_allclose(
+            np.asarray(feats_j), feats_t.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-4)
+
+        clf = ENetClassifier(41)
+        logits_j = clf.apply(cls_vars, feats_j)
+        np.testing.assert_allclose(
+            np.asarray(logits_j), logits_t.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-3)
