@@ -220,36 +220,82 @@ def cider(gts, res, max_n: int = 4, sigma: float = 6.0):
 
 # --- approximate METEOR ---
 
-def meteor_approx(gts, res, alpha: float = 0.9, beta_frag: float = 3.0, gamma: float = 0.5):
+def _porter_stem():
+    try:
+        from nltk.stem.porter import PorterStemmer
+
+        return PorterStemmer().stem
+    except ImportError:  # pragma: no cover - nltk is baked into the image
+        return lambda w: w
+
+
+def _meteor_match_stage(hyp_enum, ref_enum):
+    """One alignment stage: greedy surface-form matching, scanning the
+    hypothesis RIGHT-to-left and consuming each surface form's LAST unmatched
+    reference position first (METEOR reference implementation order; see
+    Lavie & Agarwal 2007). Returns (matches, leftover_hyp, leftover_ref) with
+    enumerated (original_index, word) pairs."""
+    ref_positions = {}
+    for j, (_, ref_word) in enumerate(ref_enum):
+        ref_positions.setdefault(ref_word, []).append(j)
+    matches = []
+    matched_h, matched_r = set(), set()
+    for i in range(len(hyp_enum) - 1, -1, -1):
+        positions = ref_positions.get(hyp_enum[i][1])
+        if positions:
+            j = positions.pop()
+            matched_h.add(i)
+            matched_r.add(j)
+            matches.append((hyp_enum[i][0], ref_enum[j][0]))
+    left_h = [p for i, p in enumerate(hyp_enum) if i not in matched_h]
+    left_r = [p for j, p in enumerate(ref_enum) if j not in matched_r]
+    return matches, left_h, left_r
+
+
+def single_meteor(reference, hypothesis, stem, alpha=0.9, beta=3.0, gamma=0.5):
+    """METEOR (Lavie & Agarwal 2007) for one tokenized (reference,
+    hypothesis) pair: exact-match stage, then Porter-stem stage (the WordNet
+    synonym stage is inactive — no corpus data offline; exact+stem is the
+    classic 'meteor-stem' configuration)."""
+    hyp_enum = list(enumerate(w.lower() for w in hypothesis))
+    ref_enum = list(enumerate(w.lower() for w in reference))
+    if not hyp_enum or not ref_enum:
+        return 0.0
+    exact, left_h, left_r = _meteor_match_stage(hyp_enum, ref_enum)
+    stems_h = [(i, stem(w)) for i, w in left_h]
+    stems_r = [(j, stem(w)) for j, w in left_r]
+    stemmed, _, _ = _meteor_match_stage(stems_h, stems_r)
+    matches = sorted(exact + stemmed)
+    m = len(matches)
+    if m == 0:
+        return 0.0
+    precision = m / len(hyp_enum)
+    recall = m / len(ref_enum)
+    fmean = (precision * recall) / (alpha * precision + (1 - alpha) * recall)
+    chunks = 1
+    for (i1, j1), (i2, j2) in zip(matches, matches[1:]):
+        if i2 != i1 + 1 or j2 != j1 + 1:
+            chunks += 1
+    penalty = gamma * (chunks / m) ** beta
+    return (1 - penalty) * fmean
+
+
+def meteor(gts, res, alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5):
+    """Corpus METEOR: per sample the best score over the references
+    (``scripts/score.py`` via pycocoevalcap; this is the full Lavie-Agarwal
+    aligner with exact + Porter-stem stages), averaged over samples."""
+    stem = _porter_stem()
     scores = []
     for qid in res:
         hyp = _tok(res[qid][0])
-        best = 0.0
-        for ref_s in gts[qid]:
-            ref = _tok(ref_s)
-            # greedy exact alignment
-            matched_h, matched_r = [], set()
-            for i, h in enumerate(hyp):
-                for j, r in enumerate(ref):
-                    if j not in matched_r and h == r:
-                        matched_h.append((i, j))
-                        matched_r.add(j)
-                        break
-            m = len(matched_h)
-            if m == 0:
-                continue
-            prec = m / len(hyp)
-            rec = m / len(ref)
-            fmean = prec * rec / (alpha * prec + (1 - alpha) * rec)
-            # fragmentation: count chunks of contiguous alignments
-            chunks = 1
-            for (i1, j1), (i2, j2) in zip(matched_h, matched_h[1:]):
-                if i2 != i1 + 1 or j2 != j1 + 1:
-                    chunks += 1
-            frag = chunks / m
-            best = max(best, fmean * (1 - gamma * frag**beta_frag))
+        best = max((single_meteor(_tok(r), hyp, stem, alpha, beta, gamma)
+                    for r in gts[qid]), default=0.0)
         scores.append(best)
     return sum(scores) / max(len(scores), 1)
+
+
+# backwards-compatible alias (pre-round-2 name)
+meteor_approx = meteor
 
 
 # --- question-type breakdown (score.py:128-148) ---
@@ -293,7 +339,7 @@ def score_predictions(preds, gold_records):
         "BLEU-3": bleus[2] * 100,
         "BLEU-4": bleus[3] * 100,
         "ROUGE-L": rouge_l(gts, res) * 100,
-        "METEOR(approx)": meteor_approx(gts, res) * 100,
+        "METEOR": meteor(gts, res) * 100,
         "CIDEr": cider(gts, res) * 100,
     }
     # per question-type EM@1

@@ -15,9 +15,16 @@ import time
 
 class RunLogger:
     """Writes human-readable lines to stdout + ``log.txt`` and structured
-    scalars to ``metrics.jsonl`` under the run directory."""
+    scalars to ``metrics.jsonl`` under the run directory.
 
-    def __init__(self, run_dir, *, stdout=True, filename="log.txt"):
+    Optional sinks (the reference's tensorboardX/wandb logging,
+    ``lib/solver.py:216-222,663-675``): ``tensorboard=True`` writes TB event
+    files under ``run_dir/tb`` (tensorboardX, baked into the image);
+    ``wandb=True`` initializes a wandb run if the package is installed
+    (gated — not available offline)."""
+
+    def __init__(self, run_dir, *, stdout=True, filename="log.txt",
+                 tensorboard=False, wandb=False, wandb_kwargs=None):
         self.run_dir = run_dir
         self.stdout = stdout
         os.makedirs(run_dir, exist_ok=True)
@@ -25,6 +32,23 @@ class RunLogger:
         self._metrics_path = os.path.join(run_dir, "metrics.jsonl")
         self._log_f = open(self._log_path, "a")
         self._metrics_f = open(self._metrics_path, "a")
+        self._tb = None
+        self._wandb = None
+        if tensorboard:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(run_dir, "tb"))
+            except ImportError:
+                self.info("tensorboardX not installed; TB sink disabled")
+        if wandb:
+            try:
+                import wandb as _wandb
+
+                self._wandb = _wandb
+                _wandb.init(dir=run_dir, **(wandb_kwargs or {}))
+            except ImportError:
+                self.info("wandb not installed; wandb sink disabled")
 
     def info(self, msg: str):
         stamp = time.strftime("%Y-%m-%d %H:%M:%S")
@@ -39,10 +63,20 @@ class RunLogger:
         rec.update({k: float(v) for k, v in values.items()})
         self._metrics_f.write(json.dumps(rec) + "\n")
         self._metrics_f.flush()
+        if self._tb is not None:
+            for k, v in values.items():
+                self._tb.add_scalar(f"{phase}/{k}", float(v), int(step))
+        if self._wandb is not None:
+            self._wandb.log({f"{phase}/{k}": float(v) for k, v in values.items()},
+                            step=int(step))
 
     def close(self):
         self._log_f.close()
         self._metrics_f.close()
+        if self._tb is not None:
+            self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
 
 class RunningMeans:

@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument("--first_stage_ckpt_path", type=str, default=None,
                    help="DET-stage run dir: load detector weights")
     p.add_argument("--trace_dir", type=str, default=None)
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also write TB event files under <run>/tb (tensorboardX)")
+    p.add_argument("--wandb", action="store_true",
+                   help="log scalars to wandb (no-op if wandb is not installed)")
     return p.parse_args(argv)
 
 
@@ -78,7 +82,7 @@ def main(argv=None):
         args.cur_criterion = "loss"
 
     run_dir = os.path.join(args.output_root, args.tag)
-    logger = RunLogger(run_dir)
+    logger = RunLogger(run_dir, tensorboard=args.tensorboard, wandb=args.wandb)
     logger.info(f"process {jax.process_index()}/{jax.process_count()}, "
                 f"devices: {jax.local_device_count()} local / {len(jax.devices())} global")
 

@@ -62,6 +62,17 @@ def install_reference_shims():
 
     _install_timm_shim(torch)
 
+    # the CUDA extension is only touched inside forward(); a stub suffices
+    # for state-dict-level work (converter goldens)
+    if "pointnet2" not in sys.modules:
+        pn2 = types.ModuleType("pointnet2")
+        pn2._ext = types.ModuleType("pointnet2._ext")
+        sys.modules["pointnet2"] = pn2
+        sys.modules["pointnet2._ext"] = pn2._ext
+    pn2_path = os.path.join(REFERENCE, "lib", "pointnet2")
+    if pn2_path not in sys.path:
+        sys.path.insert(0, pn2_path)
+
     # the reference hard-codes .cuda(); run it on CPU
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self

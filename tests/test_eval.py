@@ -142,3 +142,36 @@ class TestQAEval:
             assert np.isfinite(v).all(), key
             assert (0 <= v).all() and (v <= 1).all(), key
         assert out["ref_iou"].shape == (b,)
+
+
+class TestMeteorVsNltk:
+    """Our METEOR aligner (exact + Porter-stem stages) must match nltk's
+    reference implementation run with an empty-synonym WordNet stub — the
+    same configuration, so scores must agree to float precision."""
+
+    class _NoWordnet:
+        @staticmethod
+        def synsets(word):
+            return []
+
+    CASES = [
+        (["the brown chair"], "brown chair"),
+        (["a red office chairs", "red chair"], "the red chair"),
+        (["on the left side of the room"], "left side room"),
+        (["two"], "2"),
+        (["trash can", "trashcan"], "trash cans"),
+        (["it is on the desk next to the monitor"], "on the desk"),
+        (["running shoes"], "running shoe"),
+        (["cat sat on the mat"], "the cat sat mat on"),
+    ]
+
+    def test_matches_nltk(self):
+        nltk_meteor = pytest.importorskip("nltk.translate.meteor_score")
+        from bridgeqa_tpu.eval.scoring import _porter_stem, _tok, single_meteor
+
+        stem = _porter_stem()
+        for refs, hyp in self.CASES:
+            ours = max(single_meteor(_tok(r), _tok(hyp), stem) for r in refs)
+            theirs = nltk_meteor.meteor_score(
+                [_tok(r) for r in refs], _tok(hyp), wordnet=self._NoWordnet())
+            np.testing.assert_allclose(ours, theirs, rtol=1e-9, err_msg=f"{refs} / {hyp}")

@@ -413,3 +413,145 @@ class TestENetConverterGolden:
         logits_j = clf.apply(cls_vars, feats_j)
         np.testing.assert_allclose(
             np.asarray(logits_j), logits_t.numpy().transpose(0, 2, 3, 1), rtol=1e-3, atol=1e-3)
+
+
+class TestScanQAConverterGolden:
+    """Full reference-ScanQA checkpoint converter
+    (``utils/bridgeqa_checkpoint.py``): the CUDA-free reference components
+    (SharedMLP stacks, VotingModule, proposal head, SGA) run on CPU with
+    random weights, and our modules with converted weights must match."""
+
+    def test_shared_mlp_stack(self, refmods):
+        import jax
+        import pytorch_utils as pt_utils
+
+        from bridgeqa_tpu.models.layers import SharedMLP
+        from bridgeqa_tpu.utils.bridgeqa_checkpoint import _shared_mlp
+
+        torch.manual_seed(0)
+        ref = pt_utils.SharedMLP([6, 64, 64, 128], bn=True).eval()
+        with torch.no_grad():
+            for mod in ref.modules():
+                if isinstance(mod, torch.nn.BatchNorm2d):
+                    mod.running_mean.normal_(0, 0.5)
+                    mod.running_var.uniform_(0.5, 2.0)
+                    mod.weight.normal_(1.0, 0.2)
+                    mod.bias.normal_(0, 0.2)
+        sd = {f"m.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+        params, stats = _shared_mlp(sd, "m")
+
+        rng = np.random.RandomState(0)
+        x = rng.rand(2, 6, 16, 8).astype(np.float32)  # (B, C, M, S)
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x)).numpy()
+
+        ours = SharedMLP([64, 64, 128])
+        out = ours.apply({"params": params, "batch_stats": stats},
+                         jax.numpy.asarray(x.transpose(0, 2, 3, 1)), train=False)
+        np.testing.assert_allclose(np.asarray(out), ref_out.transpose(0, 2, 3, 1),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_voting_module(self, refmods):
+        import jax
+
+        from bridgeqa_tpu.models.voting import VotingModule
+        from bridgeqa_tpu.utils.bridgeqa_checkpoint import convert_detector
+
+        from models.voting_module import VotingModule as RefVoting
+
+        torch.manual_seed(1)
+        ref = RefVoting(1, 256).eval()
+        with torch.no_grad():
+            for mod in ref.modules():
+                if isinstance(mod, torch.nn.BatchNorm1d):
+                    mod.running_mean.normal_(0, 0.5)
+                    mod.running_var.uniform_(0.5, 2.0)
+        sd = {f"vgen.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+        # fabricate the rest of the detector tree keys the converter requires?
+        # no — call the vgen part directly
+        from bridgeqa_tpu.utils.bridgeqa_checkpoint import _bn, _dense_from_conv
+
+        params, stats = {}, {}
+        for i in (1, 2, 3):
+            params[f"conv{i}"] = _dense_from_conv(sd, f"vgen.conv{i}")
+        for i in (1, 2):
+            bn_p, bn_s = _bn(sd, f"vgen.bn{i}")
+            params[f"bn{i}"] = bn_p
+            stats[f"bn{i}"] = bn_s
+
+        rng = np.random.RandomState(2)
+        seed_xyz = rng.rand(2, 32, 3).astype(np.float32)
+        seed_feat = rng.rand(2, 32, 256).astype(np.float32)
+        with torch.no_grad():
+            ref_xyz, ref_feat = ref(torch.from_numpy(seed_xyz),
+                                    torch.from_numpy(seed_feat.transpose(0, 2, 1)))
+        ours = VotingModule(1, 256)
+        xyz, feat = ours.apply({"params": params, "batch_stats": stats},
+                               jax.numpy.asarray(seed_xyz), jax.numpy.asarray(seed_feat),
+                               train=False)
+        np.testing.assert_allclose(np.asarray(xyz), ref_xyz.numpy(), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(feat), ref_feat.numpy().transpose(0, 2, 1),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_sga_layer(self, refmods):
+        import jax
+
+        from bridgeqa_tpu.models.mcan import SGA
+        from bridgeqa_tpu.utils.bridgeqa_checkpoint import _sga
+
+        from models.mcan_module import SGA as RefSGA
+
+        torch.manual_seed(2)
+        ref = RefSGA(64, 4, 0.0).eval()
+        sd = {f"dec.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = _sga(sd, "dec")
+
+        rng = np.random.RandomState(3)
+        x = rng.rand(2, 10, 64).astype(np.float32)  # objects
+        y = rng.rand(2, 7, 64).astype(np.float32)   # text
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(x), torch.from_numpy(y), None, None, 0.0, 100).numpy()
+        ours = SGA(64, 4, 0.0)
+        out = ours.apply({"params": params}, jax.numpy.asarray(x), jax.numpy.asarray(y),
+                         None, None, deterministic=True)
+        np.testing.assert_allclose(np.asarray(out), ref_out, rtol=1e-4, atol=1e-5)
+
+
+class TestVerifyParityPlumbing:
+    """verify_parity.py dry-dock: fabricate a detector-only checkpoint with
+    the reference's own module names, convert, forward, report — ready to
+    run against a real checkpoint + scene the moment they're available."""
+
+    def test_detector_checkpoint_roundtrip(self, refmods, tmp_path):
+        from models.backbone_module import Pointnet2Backbone as RefBackbone
+        from models.proposal_module import ProposalModule as RefProposal
+        from models.voting_module import VotingModule as RefVoting
+
+        from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
+        from scripts import verify_parity
+
+        dc = ScannetDatasetConfig()
+        torch.manual_seed(0)
+        sd = {}
+        for prefix, mod in (
+            ("backbone_net", RefBackbone(input_feature_dim=0)),
+            ("vgen", RefVoting(1, 256)),
+            ("proposal", RefProposal(18, 1, 18, dc.mean_size_arr, 256, "vote_fps",
+                                     seed_feat_dim=256)),
+        ):
+            for k, v in mod.state_dict().items():
+                sd[f"{prefix}.{k}"] = v
+        path = tmp_path / "ref_model.pth"
+        torch.save(sd, path)
+
+        out = tmp_path / "report.json"
+        report = verify_parity.main([
+            "--checkpoint", str(path), "--synthetic", "--num_points", "1024",
+            "--num_proposal", "32", "--tiny_backbone", "--out", str(out),
+        ])
+        assert out.exists()
+        assert report["params_skipped"] == []
+        assert report["params_loaded"] > 100
+        corners = np.asarray(report["bbox_corners"])
+        assert corners.shape == (32, 8, 3)
+        assert np.isfinite(corners).all()
