@@ -138,10 +138,27 @@ class BertSelfAttention(nn.Module):
         hd = h // nh
         b, lq = hidden_states.shape[:2]
 
-        query = self.query(hidden_states)
         kv_src = encoder_hidden_states if self.is_cross_attention else hidden_states
-        key = self.key(kv_src)
-        value = self.value(kv_src)
+        if not self.is_cross_attention and not self.is_initializing():
+            # one (H, 3H) GEMM instead of three (H, H): N=768 runs the MXU at
+            # ~58%, N=2304 near peak (weights concat at trace time, params
+            # untouched; init still goes through the Dense modules so the
+            # param tree is created normally)
+            wqkv = jnp.concatenate(
+                [self.query.variables["params"]["kernel"],
+                 self.key.variables["params"]["kernel"],
+                 self.value.variables["params"]["kernel"]], axis=1)
+            bqkv = jnp.concatenate(
+                [self.query.variables["params"]["bias"],
+                 self.key.variables["params"]["bias"],
+                 self.value.variables["params"]["bias"]])
+            dt = self.dtype or hidden_states.dtype
+            qkv = jnp.dot(hidden_states.astype(dt), wqkv.astype(dt)) + bqkv.astype(dt)
+            query, key, value = jnp.split(qkv, 3, axis=-1)
+        else:
+            query = self.query(hidden_states)
+            key = self.key(kv_src)
+            value = self.value(kv_src)
 
         lk = kv_src.shape[1]
         kb = kv_src.shape[0]
@@ -164,6 +181,24 @@ class BertSelfAttention(nn.Module):
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_d, v)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, h)
             return ctx, probs
+
+        if b * nh >= 4096 and lq <= 16 and lk <= 16:
+            # answer-scoring shapes: a huge batch of tiny per-head matmuls.
+            # The MXU pays a full 128x128 pass per (12, 64)x(64, 12) element
+            # (~10x padding waste per side); broadcast-multiply-reduce runs
+            # on the VPU instead — measured 3x faster at (8192, 12, 768).
+            qv = query.reshape(b, lq, nh, hd)
+            kv = key.reshape(b, lk, nh, hd)
+            vv = value.reshape(b, lk, nh, hd)
+            scores = jnp.sum(qv[:, :, None] * kv[:, None, :], axis=-1)  # (B, Lq, Lk, nh)
+            scores = scores / jnp.sqrt(hd).astype(scores.dtype)
+            if attention_bias is not None:
+                # incoming bias is (B', 1|nh, Lq|1, Lk) -> (B', Lq|1, Lk, 1|nh)
+                scores = scores + attention_bias.transpose(0, 2, 3, 1).astype(scores.dtype)
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=2).astype(scores.dtype)
+            probs_d = self.prob_dropout(probs, deterministic=deterministic)
+            ctx = jnp.sum(probs_d[..., None] * vv[:, None], axis=2)  # (B, Lq, nh, hd)
+            return ctx.reshape(b, lq, h), probs.transpose(0, 3, 1, 2)
 
         q = query.reshape(b, lq, nh, hd).transpose(0, 2, 1, 3)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)

@@ -5,9 +5,16 @@ soft deps; these shims let its pure-torch modules import and run on CPU so
 our JAX implementations can be compared against the reference's own code.
 """
 
+import importlib.machinery
 import os
 import sys
 import types
+
+
+def _mod(name):
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return m
 
 import numpy as np
 
@@ -25,17 +32,39 @@ def install_reference_shims():
         if not hasattr(mu, name) and hasattr(pu, name):
             setattr(mu, name, getattr(pu, name))
     if "icecream" not in sys.modules:
-        ice = types.ModuleType("icecream")
+        ice = _mod("icecream")
         ice.ic = lambda *a, **k: (a[0] if a else None)
         sys.modules["icecream"] = ice
-    for soft_dep in ("trimesh", "easydict", "tensorboardX", "wandb", "plyfile"):
+    for soft_dep in ("trimesh", "easydict", "tensorboardX", "wandb", "plyfile", "h5py",
+                     "pretty_errors", "open_clip", "toml", "colorama", "datasets"):
         if soft_dep not in sys.modules:
             try:
                 __import__(soft_dep)
             except ImportError:
-                stub = types.ModuleType(soft_dep)
+                stub = _mod(soft_dep)
                 stub.PlyData = stub.PlyElement = object  # plyfile symbols
+
+                class EasyDict(dict):  # easydict.EasyDict surface
+                    def __getattr__(self, k):
+                        try:
+                            return self[k]
+                        except KeyError as e:
+                            raise AttributeError(k) from e
+
+                    def __setattr__(self, k, v):
+                        self[k] = EasyDict(v) if isinstance(v, dict) else v
+
+                stub.EasyDict = EasyDict
+                stub.File = object  # h5py.File
                 sys.modules[soft_dep] = stub
+    try:  # newer `datasets` removed load_metric; the reference imports it
+        import datasets as _datasets
+
+        if not hasattr(_datasets, "load_metric"):
+            _datasets.load_metric = lambda *a, **k: None
+    except ImportError:
+        pass
+
     # the snapshot's data/ package is dangling; satisfy the import with our
     # semantics-compatible dataset config
     if "data.scannet.model_util_scannet" not in sys.modules:
@@ -44,9 +73,9 @@ def install_reference_shims():
             rotate_aligned_boxes_along_axis,
         )
 
-        data_pkg = types.ModuleType("data")
-        scannet_pkg = types.ModuleType("data.scannet")
-        util = types.ModuleType("data.scannet.model_util_scannet")
+        data_pkg = _mod("data")
+        scannet_pkg = _mod("data.scannet")
+        util = _mod("data.scannet.model_util_scannet")
         util.ScannetDatasetConfig = ScannetDatasetConfig
         util.rotate_aligned_boxes_along_axis = rotate_aligned_boxes_along_axis
 
@@ -61,12 +90,13 @@ def install_reference_shims():
         sys.modules["data.scannet.model_util_scannet"] = util
 
     _install_timm_shim(torch)
+    _install_torchvision_shim()
 
     # the CUDA extension is only touched inside forward(); a stub suffices
     # for state-dict-level work (converter goldens)
     if "pointnet2" not in sys.modules:
-        pn2 = types.ModuleType("pointnet2")
-        pn2._ext = types.ModuleType("pointnet2._ext")
+        pn2 = _mod("pointnet2")
+        pn2._ext = _mod("pointnet2._ext")
         sys.modules["pointnet2"] = pn2
         sys.modules["pointnet2._ext"] = pn2._ext
     pn2_path = os.path.join(REFERENCE, "lib", "pointnet2")
@@ -80,6 +110,61 @@ def install_reference_shims():
 
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
+
+
+def import_ref_dataset():
+    """Import ``lib.dataset`` despite its module-level reads of absent data
+    files (scannetv2.txt scene lists, incl. one hardcoded absolute path)."""
+    import builtins
+    import io
+
+    install_reference_shims()
+    real_open = builtins.open
+
+    def fake_open(path, *a, **k):
+        if isinstance(path, str) and path.endswith("scannetv2.txt"):
+            return io.StringIO("scene0000_00\nscene0001_00\n")
+        return real_open(path, *a, **k)
+
+    builtins.open = fake_open
+    try:
+        import lib.dataset as ref_dataset
+    finally:
+        builtins.open = real_open
+    return ref_dataset
+
+
+def _install_torchvision_shim():
+    """Name-level stand-ins for the torchvision.transforms symbols the
+    reference's blip_utils imports (only constructed inside image-loading
+    paths our goldens don't exercise)."""
+    if "torchvision" in sys.modules:
+        return
+
+    class _T:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            raise NotImplementedError("torchvision shim: image transforms unavailable")
+
+    tv = _mod("torchvision")
+    transforms = _mod("torchvision.transforms")
+    functional = _mod("torchvision.transforms.functional")
+    for name in ("Compose", "Resize", "ToTensor", "Normalize", "RandomResizedCrop",
+                 "RandomHorizontalFlip", "CenterCrop"):
+        setattr(transforms, name, type(name, (_T,), {}))
+
+    class InterpolationMode:
+        BICUBIC = "bicubic"
+        BILINEAR = "bilinear"
+        NEAREST = "nearest"
+
+    functional.InterpolationMode = InterpolationMode
+    tv.transforms = transforms
+    transforms.functional = functional
+    sys.modules.update({"torchvision": tv, "torchvision.transforms": transforms,
+                        "torchvision.transforms.functional": functional})
 
 
 def _install_timm_shim(torch):
@@ -132,20 +217,20 @@ def _install_timm_shim(torch):
             fn(module=module, name=name)
         return module
 
-    timm = types.ModuleType("timm")
-    models = types.ModuleType("timm.models")
-    vt = types.ModuleType("timm.models.vision_transformer")
+    timm = _mod("timm")
+    models = _mod("timm.models")
+    vt = _mod("timm.models.vision_transformer")
     vt._cfg = lambda url="", **kwargs: dict(url=url, **kwargs)
     vt.PatchEmbed = PatchEmbed
-    registry = types.ModuleType("timm.models.registry")
+    registry = _mod("timm.models.registry")
     registry.register_model = lambda fn: fn
-    layers = types.ModuleType("timm.models.layers")
+    layers = _mod("timm.models.layers")
     layers.trunc_normal_ = torch.nn.init.trunc_normal_
     layers.DropPath = DropPath
-    helpers = types.ModuleType("timm.models.helpers")
+    helpers = _mod("timm.models.helpers")
     helpers.named_apply = named_apply
     helpers.adapt_input_conv = lambda in_chans, conv_weight: conv_weight
-    hub = types.ModuleType("timm.models.hub")
+    hub = _mod("timm.models.hub")
 
     def download_cached_file(*a, **k):
         raise RuntimeError("no network in the test environment")
@@ -164,10 +249,10 @@ def _install_timm_shim(torch):
     })
 
     if "fairscale" not in sys.modules:
-        fairscale = types.ModuleType("fairscale")
-        fs_nn = types.ModuleType("fairscale.nn")
-        fs_ckpt = types.ModuleType("fairscale.nn.checkpoint")
-        fs_ca = types.ModuleType("fairscale.nn.checkpoint.checkpoint_activations")
+        fairscale = _mod("fairscale")
+        fs_nn = _mod("fairscale.nn")
+        fs_ckpt = _mod("fairscale.nn.checkpoint")
+        fs_ca = _mod("fairscale.nn.checkpoint.checkpoint_activations")
         fs_ca.checkpoint_wrapper = lambda module, *a, **k: module
         fairscale.nn = fs_nn
         fs_nn.checkpoint = fs_ckpt

@@ -154,3 +154,35 @@ class TestBlipVQA3D:
         assert "text_decoder_scene" not in variables["params"]
         loss, _, _ = model.apply(variables, *args, train=False)
         assert jnp.isfinite(loss)
+
+
+class TestVpuAttentionPath:
+    """The large-batch/short-seq attention branch (VPU broadcast-mul-reduce)
+    must match the einsum path bit-for-bit-ish. b*nh >= 4096 triggers it."""
+
+    def test_matches_einsum_path(self):
+        import jax
+        import jax.numpy as jnp
+
+        from bridgeqa_tpu.models.med import BertSelfAttention, MedConfig, causal_attention_bias
+
+        cfg = MedConfig(vocab_size=50, hidden_size=32, num_hidden_layers=1,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=32, encoder_width=32)
+        att = BertSelfAttention(cfg)
+        rng = np.random.RandomState(0)
+        big = jnp.asarray(rng.rand(2048, 6, 32), jnp.float32)  # 2048*4 >= 4096 -> VPU
+        bias = causal_attention_bias(jnp.ones((2048, 6), jnp.int32))
+        v = att.init(jax.random.PRNGKey(0), big, bias, deterministic=True)
+
+        ctx_vpu, probs_vpu = att.apply(v, big, bias, deterministic=True)
+        # the small-batch path on the identical inputs, row-block by row-block
+        outs, probs = [], []
+        for i in range(0, 2048, 512):  # 512*4 < 4096 -> einsum path
+            c, p = att.apply(v, big[i:i + 512], bias[i:i + 512], deterministic=True)
+            outs.append(np.asarray(c))
+            probs.append(np.asarray(p))
+        np.testing.assert_allclose(np.asarray(ctx_vpu), np.concatenate(outs),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(probs_vpu), np.concatenate(probs),
+                                   rtol=1e-5, atol=1e-6)

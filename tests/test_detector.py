@@ -76,7 +76,22 @@ class TestDetectorForward:
             assert jnp.isfinite(end_points[k]), k
 
 
-def _train_detector(batch, force_mode=None, steps=150):
+def build_detector_scaled():
+    """Half-scale SA pyramid: ~6x faster CPU steps for the mode ablation
+    while keeping every ball-query call site (SA1 raw / SA2-4 FPS output /
+    vote aggregation) in play."""
+    return VoteNetDetector(
+        num_class=CFG.num_class,
+        num_heading_bin=CFG.num_heading_bin,
+        num_size_cluster=CFG.num_size_cluster,
+        mean_size_arr=CFG.mean_size_arr,
+        num_proposal=64,
+        sa_npoints=(512, 256, 128, 64),
+        sa_nsamples=(32, 16, 8, 8),
+    )
+
+
+def _train_detector(batch, force_mode=None, steps=150, builder=build_detector):
     """Train the synthetic detector; returns (loss history, params, batch_stats).
 
     ``force_mode`` pins the ball-query selection rule via
@@ -88,7 +103,7 @@ def _train_detector(batch, force_mode=None, steps=150):
     old_mode = grouping.FORCE_MODE
     grouping.FORCE_MODE = force_mode
     try:
-        model = build_detector()
+        model = builder()
         variables = model.init(jax.random.PRNGKey(0), batch["point_clouds"], train=True)
         params, batch_stats = variables["params"], variables["batch_stats"]
         tx = optax.chain(optax.clip(1.0), optax.adam(1e-3))
@@ -121,7 +136,7 @@ def _train_detector(batch, force_mode=None, steps=150):
         grouping.FORCE_MODE = old_mode
 
 
-def _detector_map(batch, params, batch_stats, force_mode=None):
+def _detector_map(batch, params, batch_stats, force_mode=None, builder=build_detector):
     """mAP@0.25 of a trained detector on the synthetic batch."""
     import bridgeqa_tpu.ops.grouping as grouping
 
@@ -134,7 +149,7 @@ def _detector_map(batch, params, batch_stats, force_mode=None):
     old_mode = grouping.FORCE_MODE
     grouping.FORCE_MODE = force_mode
     try:
-        model = build_detector()
+        model = builder()
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           batch["point_clouds"], train=False)
     finally:
@@ -173,8 +188,10 @@ class TestBallQueryModeAblation:
     selection rules and require equivalent learning + detection quality."""
 
     def test_exact_vs_stripes_training_equivalent(self, batch):
-        hist_e, params_e, stats_e = _train_detector(batch, force_mode="exact")
-        hist_s, params_s, stats_s = _train_detector(batch, force_mode="stripes")
+        hist_e, params_e, stats_e = _train_detector(batch, force_mode="exact",
+                                                    builder=build_detector_scaled)
+        hist_s, params_s, stats_s = _train_detector(batch, force_mode="stripes",
+                                                    builder=build_detector_scaled)
         assert np.isfinite(hist_e).all() and np.isfinite(hist_s).all()
 
         # both must learn (tail < head on the steady losses)
@@ -182,8 +199,10 @@ class TestBallQueryModeAblation:
             assert np.median(hist[-20:, 1]) < np.median(hist[:20, 1]), f"{name}: vote loss"
             assert np.median(hist[-20:, 2]) < np.median(hist[:20, 2]), f"{name}: objectness"
 
-        map_e = _detector_map(batch, params_e, stats_e, force_mode="exact")
-        map_s = _detector_map(batch, params_s, stats_s, force_mode="stripes")
+        map_e = _detector_map(batch, params_e, stats_e, force_mode="exact",
+                              builder=build_detector_scaled)
+        map_s = _detector_map(batch, params_s, stats_s, force_mode="stripes",
+                              builder=build_detector_scaled)
         tail_e = dict(vote=np.median(hist_e[-20:, 1]), obj=np.median(hist_e[-20:, 2]))
         tail_s = dict(vote=np.median(hist_s[-20:, 1]), obj=np.median(hist_s[-20:, 2]))
         report = f"exact: mAP={map_e:.3f} {tail_e} | stripes: mAP={map_s:.3f} {tail_s}"
