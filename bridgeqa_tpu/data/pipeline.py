@@ -102,6 +102,7 @@ class ScanQADataset:
         view_lookup=None,
         dataset_config=None,
         seed=0,
+        rng_mode="stream",
     ):
         """records: list of ScanQA dicts (question/answers/scene_id/object_ids/
         object_names/question_id). scene_data: scene_id -> scene dict (see
@@ -132,6 +133,13 @@ class ScanQADataset:
         self.question_len = question_len
         self.answer_len = answer_len
         self.view_lookup = view_lookup
+        self.seed = seed
+        # "stream": one shared RandomState (the reference's global np.random
+        # semantics; required for the seeded __getitem__ golden).
+        # "per_sample": an independent RandomState per (seed, epoch, idx) —
+        # deterministic under multi-worker prefetch (torch worker idiom).
+        self.rng_mode = rng_mode
+        self.epoch = 0
         self.rng = np.random.RandomState(seed)
         # raw object name -> class (others bucket = 17), dataset.py:625-645
         self.raw2label = {name: i for name, i in self.dc.type2class.items()}
@@ -144,8 +152,14 @@ class ScanQADataset:
             return self.scene_data(scene_id)
         return self.scene_data[scene_id]
 
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
+
     def __getitem__(self, idx):
-        rng = self.rng
+        if self.rng_mode == "per_sample":
+            rng = np.random.RandomState((self.seed * 1000003 + self.epoch * 9176 + idx) % (2**31))
+        else:
+            rng = self.rng
         rec = self.records[idx]
         scene_id = rec["scene_id"]
         scene = self._get_scene(scene_id)
@@ -308,7 +322,7 @@ class ScanQADataset:
             data["question_ids"] = qids
             data["question_mask"] = qmask
             if answers:
-                pick = answers[self.rng.randint(len(answers))] if self.split == "train" else answers[0]
+                pick = answers[rng.randint(len(answers))] if self.split == "train" else answers[0]
                 aids, amask = self.tokenizer.encode(pick, self.answer_len,
                                                     first_token=self.tokenizer.bos_token_id)
                 data["answer_ids"] = aids
@@ -352,7 +366,12 @@ class BatchIterator:
     """
 
     def __init__(self, dataset, batch_size, *, shuffle=True, seed=0, drop_last=True,
-                 num_shards=1, shard_index=0, prefetch=2):
+                 num_shards=1, shard_index=0, prefetch=2, num_workers=4):
+        """``num_workers`` > 1 assembles samples with a thread pool (numpy +
+        the native C++ vote/transform kernels release the GIL, so threads
+        overlap) — the torch ``DataLoader(num_workers=N)`` role. Sample
+        order is identical for any worker count; per-sample dataset rng
+        state is only deterministic with ``num_workers=1``."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -361,6 +380,7 @@ class BatchIterator:
         self.num_shards = num_shards
         self.shard_index = shard_index
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.epoch = 0
 
     def __len__(self):
@@ -374,16 +394,36 @@ class BatchIterator:
         if self.shuffle:
             np.random.RandomState(self.seed + self.epoch).shuffle(order)
         order = order[self.shard_index :: self.num_shards]
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         self.epoch += 1
 
         nb = len(order) // self.batch_size if self.drop_last else (len(order) + self.batch_size - 1) // self.batch_size
         q = queue_mod.Queue(maxsize=self.prefetch)
 
-        def worker():
-            for b in range(nb):
-                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                q.put(collate([self.dataset[int(i)] for i in idxs]))
-            q.put(None)
+        workers = self.num_workers
+        if workers > 1 and getattr(self.dataset, "rng_mode", "per_sample") == "stream":
+            # a shared-stream dataset rng is not thread-safe; fall back
+            workers = 1
+
+        if workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=workers)
+
+            def worker():
+                for b in range(nb):
+                    idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    samples = list(pool.map(self.dataset.__getitem__, [int(i) for i in idxs]))
+                    q.put(collate(samples))
+                q.put(None)
+                pool.shutdown(wait=False)
+        else:
+            def worker():
+                for b in range(nb):
+                    idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    q.put(collate([self.dataset[int(i)] for i in idxs]))
+                q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

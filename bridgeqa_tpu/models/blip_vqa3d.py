@@ -296,8 +296,13 @@ class BLIPVQA3D(nn.Module):
         def scatter_scores(topk_ids, scores):
             all_scores = jnp.zeros((batch, num_answers), dtype=jnp.float32)
             b_idx = jnp.arange(batch)[:, None].repeat(k, 1)
-            all_scores = all_scores.at[b_idx.reshape(-1), topk_ids.reshape(-1)].add(scores.reshape(-1))
-            return jnp.where(all_scores == 0, -1e4, all_scores)
+            flat_b, flat_a = b_idx.reshape(-1), topk_ids.reshape(-1)
+            all_scores = all_scores.at[flat_b, flat_a].add(scores.reshape(-1))
+            # explicit scored-mask instead of the reference's `score == 0`
+            # sentinel (blip_vqa_3d.py:442-447), which would remap a
+            # legitimately-zero log-prob sum to -1e4
+            scored = jnp.zeros((batch, num_answers), dtype=bool).at[flat_b, flat_a].set(True)
+            return jnp.where(scored, all_scores, -1e4)
 
         ids_2d, scores_2d = self._rank_with_decoder(
             self.text_decoder, h2d, question_mask, answer_ids, answer_mask, k

@@ -138,27 +138,13 @@ class BertSelfAttention(nn.Module):
         hd = h // nh
         b, lq = hidden_states.shape[:2]
 
+        # NOTE: a fused (H, 3H) QKV GEMM was tried and measured SLOWER
+        # end-to-end (the post-split slices cost more traffic than the three
+        # narrower GEMMs save) — keep the separate projections.
         kv_src = encoder_hidden_states if self.is_cross_attention else hidden_states
-        if not self.is_cross_attention and not self.is_initializing():
-            # one (H, 3H) GEMM instead of three (H, H): N=768 runs the MXU at
-            # ~58%, N=2304 near peak (weights concat at trace time, params
-            # untouched; init still goes through the Dense modules so the
-            # param tree is created normally)
-            wqkv = jnp.concatenate(
-                [self.query.variables["params"]["kernel"],
-                 self.key.variables["params"]["kernel"],
-                 self.value.variables["params"]["kernel"]], axis=1)
-            bqkv = jnp.concatenate(
-                [self.query.variables["params"]["bias"],
-                 self.key.variables["params"]["bias"],
-                 self.value.variables["params"]["bias"]])
-            dt = self.dtype or hidden_states.dtype
-            qkv = jnp.dot(hidden_states.astype(dt), wqkv.astype(dt)) + bqkv.astype(dt)
-            query, key, value = jnp.split(qkv, 3, axis=-1)
-        else:
-            query = self.query(hidden_states)
-            key = self.key(kv_src)
-            value = self.value(kv_src)
+        query = self.query(hidden_states)
+        key = self.key(kv_src)
+        value = self.value(kv_src)
 
         lk = kv_src.shape[1]
         kb = kv_src.shape[0]

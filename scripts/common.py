@@ -64,6 +64,9 @@ def add_data_args(p: argparse.ArgumentParser):
     p.add_argument("--question_len", type=int, default=80)
     p.add_argument("--answer_len", type=int, default=16)
     p.add_argument("--use_unanswerable", action="store_true")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="prefetch threads per loader (>1 switches the dataset "
+                        "to per-sample rng, the torch DataLoader worker idiom)")
 
 
 def input_feature_dim(args) -> int:
@@ -282,13 +285,15 @@ def build_datasets(args, *, splits=("train", "val")):
             augment=(s == "train"), use_unanswerable=args.use_unanswerable or s != "train",
             tokenizer=tokenizer, question_len=args.question_len, answer_len=args.answer_len,
             view_lookup=view_lookup,
+            rng_mode="per_sample" if getattr(args, "num_workers", 1) > 1 else "stream",
         )
     return datasets, tokenizer, answer_cands, answer_counter
 
 
 def make_loader(dataset, args, *, shuffle, seed=0, num_shards=1, shard_index=0):
     return BatchIterator(dataset, args.batch_size, shuffle=shuffle, seed=seed,
-                         num_shards=num_shards, shard_index=shard_index)
+                         num_shards=num_shards, shard_index=shard_index,
+                         num_workers=getattr(args, "num_workers", 1))
 
 
 def args_to_dict(args):

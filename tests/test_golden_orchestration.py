@@ -555,3 +555,85 @@ class TestVerifyParityPlumbing:
         corners = np.asarray(report["bbox_corners"])
         assert corners.shape == (32, 8, 3)
         assert np.isfinite(corners).all()
+
+
+class TestBlipITMGolden:
+    """BLIP_ITM (the view-selection scorer, ``models/blip_itm.py:10-76``):
+    both itc cosine scores and itm matching logits vs the reference's own
+    torch module with converter-shared weights."""
+
+    def test_itc_and_itm_match_reference(self, refmods):
+        import jax
+        import jax.numpy as jnp
+
+        from bridgeqa_tpu.models.blip_itm import BLIPITM, BlipITMConfig
+        from bridgeqa_tpu.models.med import MedConfig
+        from bridgeqa_tpu.utils.blip_checkpoint import (
+            _bert_embeddings,
+            _linear,
+            convert_bert_encoder,
+            convert_vit,
+            merge_pretrained,
+        )
+
+        import models.blip_itm as ref_itm
+
+        ref_itm.init_tokenizer = lambda: _FakeTokenizer({})
+        torch.manual_seed(3)
+        ref_model = ref_itm.BLIP_ITM(
+            med_config=os.path.join(REFERENCE, "configs", "med_config.json"),
+            image_size=48, vit="base", embed_dim=256).eval()
+
+        cfg = BlipITMConfig(med=MedConfig(), image_size=48, vit="base", embed_dim=256)
+        model = BLIPITM(cfg)
+
+        rng = np.random.RandomState(0)
+        images = rng.rand(3, 48, 48, 3).astype(np.float32)
+        ids = rng.randint(1000, 29000, (2, 9)).astype(np.int64)
+        ids[:, 0] = 101
+        mask = np.ones((2, 9), np.int64)
+        mask[1, 6:] = 0
+
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(images[:2]),
+                               jnp.asarray(ids), jnp.asarray(mask), method="init_all")
+        sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+        num_patches = (48 // 16) ** 2
+        converted = {
+            "visual_encoder": convert_vit(sd, "visual_encoder", num_patches),
+            "text_encoder": {
+                "embeddings": _bert_embeddings(sd, "text_encoder.embeddings", 30524),
+                "encoder": convert_bert_encoder(sd, "text_encoder.encoder", twin=False),
+            },
+            "vision_proj": _linear(sd, "vision_proj"),
+            "text_proj": _linear(sd, "text_proj"),
+            "itm_head": _linear(sd, "itm_head"),
+        }
+        merged, loaded, skipped = merge_pretrained(variables["params"], converted)
+        assert not [s for s in skipped if "no such param" not in s], skipped
+        variables = {"params": merged}
+
+        images_t = torch.from_numpy(images.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            ref_img = ref_model.visual_encoder(images_t)
+            ref_ifeat = torch.nn.functional.normalize(
+                ref_model.vision_proj(ref_img[:, 0, :]), dim=-1)
+            ref_txt = ref_model.text_encoder(
+                torch.from_numpy(ids), attention_mask=torch.from_numpy(mask),
+                return_dict=True, mode="text")
+            ref_tfeat = torch.nn.functional.normalize(
+                ref_model.text_proj(ref_txt.last_hidden_state[:, 0, :]), dim=-1)
+            ref_itc = (ref_tfeat @ ref_ifeat.t()).numpy()
+            ref_itm_out = ref_model.text_encoder(
+                torch.from_numpy(ids[:2]), attention_mask=torch.from_numpy(mask[:2]),
+                encoder_hidden_states=ref_img[:2], encoder_attention_mask=torch.ones(
+                    ref_img.shape[:2], dtype=torch.long)[:2],
+                return_dict=True)
+            ref_itm_logits = ref_model.itm_head(ref_itm_out.last_hidden_state[:, 0, :]).numpy()
+
+        our_itc = model.apply(variables, jnp.asarray(images), jnp.asarray(ids),
+                              jnp.asarray(mask), method="itc_scores")
+        np.testing.assert_allclose(np.asarray(our_itc), ref_itc, rtol=2e-3, atol=2e-4)
+
+        our_itm = model.apply(variables, jnp.asarray(images[:2]), jnp.asarray(ids[:2]),
+                              jnp.asarray(mask[:2]), method="itm_scores")
+        np.testing.assert_allclose(np.asarray(our_itm), ref_itm_logits, rtol=2e-3, atol=5e-4)
