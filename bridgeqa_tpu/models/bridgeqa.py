@@ -142,7 +142,8 @@ class BridgeQA(nn.Module):
                                            c.mcan_pdrop, dtype=self.dtype, name="fusion_backbone")
             self.fusion_norm = McanLayerNorm(c.mcan_flat_out_size, name="fusion_norm")
 
-    def __call__(self, batch, *, train: bool, bn_momentum=0.1, inference: str = "rank", k_test: int = 256):
+    def __call__(self, batch, *, train: bool, bn_momentum=0.1, inference: str = "rank", k_test: int = 256,
+                 num_beams: int | None = None, max_length: int | None = None):
         """batch: dict of arrays (see data pipeline). Returns the end_points
         dict with detector outputs + QA heads, mirroring
         ``ScanQA.forward``'s ``data_dict`` keys."""
@@ -161,13 +162,15 @@ class BridgeQA(nn.Module):
 
         if c.use_blip:
             out.update(self._forward_blip(batch, out, object_feat, object_mask, bbox_mask,
-                                          train=train, inference=inference, k_test=k_test))
+                                          train=train, inference=inference, k_test=k_test,
+                                          num_beams=num_beams, max_length=max_length))
         else:
             out.update(self._forward_mcan(batch, out, object_feat, object_mask, train=train))
         return out
 
     def _forward_blip(self, batch, det_out, object_feat, object_mask, bbox_mask, *,
-                      train: bool, inference: str, k_test: int):
+                      train: bool, inference: str, k_test: int,
+                      num_beams=None, max_length=None):
         c = self.cfg
         out = {}
         # scene_feature_type == "full": proposals straight into the adapter
@@ -199,6 +202,7 @@ class BridgeQA(nn.Module):
             generated_ids, fused_feat, fused_mask = self.blip_model.generate(
                 image, batch["question_ids"], batch["question_mask"],
                 scene_object_embeds, scene_object_mask,
+                num_beams=num_beams, max_length=max_length,
             )
             out["generated_ids"] = generated_ids
         else:

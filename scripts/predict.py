@@ -36,6 +36,11 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--k_test", type=int, default=256)
     p.add_argument("--nms_iou", type=float, default=0.25)
+    p.add_argument("--open_ended", action="store_true",
+                   help="also beam-search a free-form answer per question "
+                        "(reference predict.py's open-ended generation path)")
+    p.add_argument("--num_beams", type=int, default=5)
+    p.add_argument("--gen_max_length", type=int, default=20)
     return p.parse_args(argv)
 
 
@@ -94,20 +99,35 @@ def main(argv=None):
         top10 = jnp.argsort(-out["answer_scores"], axis=1)[:, :10]
         return top10, corners, out["answer_scores"]
 
+    generate = None
+    if cli.open_ended:
+        @jax.jit
+        def generate(batch):
+            out = model.apply(variables, batch, train=False, inference="generate",
+                              num_beams=cli.num_beams, max_length=cli.gen_max_length)
+            return out["generated_ids"]
+
     loader = common.make_loader(dataset, args, shuffle=False)
     preds = []
     for batch in loader:
         arrays = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
         arrays.update({k: jnp.asarray(v) for k, v in answer_list.items()})
         top10, corners, _ = jax.device_get(infer(arrays))
+        gen_texts = None
+        if generate is not None:
+            gen_ids = np.asarray(jax.device_get(generate(arrays)))
+            gen_texts = [tokenizer.decode(row) for row in gen_ids]
         for i in range(len(batch["question_id_str"])):
-            preds.append({
+            rec = {
                 "scene_id": batch["scene_id_str"][i],
                 "question_id": batch["question_id_str"][i],
                 "question": batch["question"][i],
                 "answer_top10": [answer_cands[j] for j in top10[i]],
                 "bbox": np.asarray(corners[i]).tolist(),
-            })
+            }
+            if gen_texts is not None:
+                rec["open_ended_answer"] = gen_texts[i]
+            preds.append(rec)
 
     out_path = os.path.join(cli.run_dir, f"pred.{cli.split}.json")
     with open(out_path, "w") as f:

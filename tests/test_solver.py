@@ -74,6 +74,16 @@ class TestPredictScore:
         assert bbox.shape == (8, 3)
         assert np.isfinite(bbox).all()
 
+    def test_predict_open_ended(self, run_dir):
+        d, _ = run_dir
+        from scripts import predict as predict_script
+
+        preds = predict_script.main(["--run_dir", d, "--split", "val", "--k_test", "4",
+                                     "--open_ended", "--num_beams", "2",
+                                     "--gen_max_length", "5"])
+        assert preds and "open_ended_answer" in preds[0]
+        assert isinstance(preds[0]["open_ended_answer"], str)
+
     def test_score_pipeline(self, run_dir):
         d, _ = run_dir
         from scripts import score as score_script
