@@ -16,6 +16,7 @@ from bridgeqa_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from bridgeqa_tpu.parallel.tp import shard_params_tp, tp_param_specs
 
 __all__ = ["make_mesh", "batch_sharding", "initialize_distributed", "replicate_array",
-           "replicated_sharding", "shard_batch"]
+           "replicated_sharding", "shard_batch", "shard_params_tp", "tp_param_specs"]

@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--cur_criterion", type=str, default="answer_acc_at1")
     p.add_argument("--max_iters_per_epoch", type=int, default=0)
     p.add_argument("--k_test", type=int, default=256)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel size (mesh model axis; Megatron-style "
+                        "column/row kernel sharding, beyond the reference's dp-only)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() (coordinator from env: "
                         "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or "
@@ -134,19 +137,32 @@ def main(argv=None):
     # local devices, so there the division is a hard requirement)
     global_batch = args.batch_size * jax.process_count()
     n_dev = len(jax.devices())
+    tp = max(args.tp, 1)
+    if n_dev % tp:
+        raise ValueError(f"--tp {tp} must divide the device count {n_dev}")
     if jax.process_count() > 1:
-        if global_batch % n_dev:
-            raise ValueError(f"global batch {global_batch} must divide over {n_dev} devices")
+        if global_batch % (n_dev // tp):
+            raise ValueError(f"global batch {global_batch} must divide over {n_dev // tp} "
+                             "data-parallel ranks")
     else:
-        while global_batch % n_dev:
-            n_dev -= 1
-    mesh = make_mesh(jax.devices()[:n_dev])
+        while global_batch % (n_dev // tp):
+            n_dev -= tp
+    mesh = make_mesh(jax.devices()[:n_dev], model_axis=tp)
     if n_dev != len(jax.devices()):
         logger.info(f"using {n_dev}/{len(jax.devices())} devices (batch {args.batch_size})")
-    from bridgeqa_tpu.parallel import replicate_array, replicated_sharding
+    from bridgeqa_tpu.parallel import replicate_array, replicated_sharding, shard_params_tp
 
     if jax.process_count() > 1:
         state = jax.tree.map(lambda a: replicate_array(np.asarray(a), mesh), state)
+    elif tp > 1:
+        sharded_params = shard_params_tp(state.params, mesh)
+        state = state.replace(
+            params=sharded_params,
+            opt_state=tx.init(sharded_params),  # moments inherit the TP shardings
+            batch_stats=jax.device_put(state.batch_stats, replicated_sharding(mesh)),
+            step=jax.device_put(state.step, replicated_sharding(mesh)),
+        )
+        logger.info(f"tensor parallelism: model axis {tp}")
     else:
         state = jax.device_put(state, replicated_sharding(mesh))
 

@@ -46,3 +46,67 @@ def test_multistep_schedule():
     assert np.isclose(sched(19), 1.0)
     assert np.isclose(sched(20), 0.1)
     assert np.isclose(sched(40), 0.01)
+
+
+class TestTensorParallel:
+    """dp+tp sharding (mesh model axis): identical losses/grads to dp-only —
+    TP is annotations only, GSPMD inserts the collectives."""
+
+    def test_tp_step_matches_dp(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from bridgeqa_tpu.models.med import BertLMHeadModel, MedConfig
+        from bridgeqa_tpu.parallel import (
+            make_mesh,
+            replicated_sharding,
+            shard_batch,
+            shard_params_tp,
+            tp_param_specs,
+        )
+        from jax.sharding import PartitionSpec as P
+
+        cfg = MedConfig(vocab_size=96, hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=128,
+                        max_position_embeddings=32, encoder_width=64)
+        m = BertLMHeadModel(cfg)
+        rng = np.random.RandomState(0)
+        B, L, LQ = 8, 6, 5
+        ids = jnp.asarray(rng.randint(1, 90, (B, L)))
+        atts = jnp.ones((B, L), jnp.int32)
+        qs = jnp.asarray(rng.rand(B, LQ, 64), jnp.float32)
+        qm = jnp.ones((B, LQ), jnp.int32)
+        labels = ids
+        variables = m.init(jax.random.PRNGKey(0), ids, atts, qs, qm, labels=labels,
+                           deterministic=True)
+        params = variables["params"]
+
+        # at least one kernel of each parallel style must be recognized
+        specs = tp_param_specs(params)
+        flat = jax.tree_util.tree_leaves_with_paths(specs) if hasattr(jax.tree_util, "tree_leaves_with_paths") else None
+        spec_leaves = jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, P))
+        assert any(s == P(None, "model") for s in spec_leaves)
+        assert any(s == P("model", None) for s in spec_leaves)
+
+        def loss_fn(p, batch):
+            _, loss = m.apply({"params": p}, batch["ids"], batch["atts"], batch["qs"],
+                              batch["qm"], labels=batch["labels"], deterministic=True)
+            return jnp.mean(loss)
+
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        batch = {"ids": ids, "atts": atts, "qs": qs, "qm": qm, "labels": labels}
+
+        # dp-only: 8x1 mesh, replicated params
+        mesh_dp = make_mesh(jax.devices()[:8])
+        p_dp = jax.device_put(params, replicated_sharding(mesh_dp))
+        l_dp, g_dp = step(p_dp, shard_batch(batch, mesh_dp))
+
+        # dp+tp: 2x4 mesh, tensor-parallel params
+        mesh_tp = make_mesh(jax.devices()[:8], data_axis=2, model_axis=4)
+        p_tp = shard_params_tp(params, mesh_tp)
+        l_tp, g_tp = step(p_tp, shard_batch(batch, mesh_tp))
+
+        np.testing.assert_allclose(float(l_dp), float(l_tp), rtol=1e-6)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6), g_dp, g_tp)
