@@ -71,7 +71,8 @@ class Attention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, N, D)
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(attn, axis=-1)
+        # f32 softmax regardless of compute dtype (torch AMP semantics)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
 
         x = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(b, n, c)
