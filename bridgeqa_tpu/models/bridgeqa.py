@@ -52,6 +52,12 @@ class BridgeQAConfig:
     lang_use_bidir: bool = False
     lang_emb_size: int = 300
     lang_pdrop: float = 0.1
+    # MCAN-path language encoder: feed BERT hidden states (an in-graph med
+    # BertModel over question ids) into the LSTM instead of GloVe vectors
+    # (lang_module.py:27-46 bert_model_name option)
+    lang_bert: bool = False
+    lang_bert_freeze: bool = False
+    lang_bert_finetune_last: bool = False
     hidden_size: int = 128
     use_object_mask: bool = True
     use_lang_cls: bool = True
@@ -129,6 +135,15 @@ class BridgeQA(nn.Module):
             self.lang_net = LangModule(c.num_object_class, use_lang_classifier=False,
                                        use_bidir=c.lang_use_bidir, hidden_size=c.hidden_size,
                                        pdrop=c.lang_pdrop, name="lang_net")
+            if c.lang_bert:
+                import dataclasses as _dc
+
+                from bridgeqa_tpu.models.lang import BertLangEncoder
+
+                bert_cfg = _dc.replace(c.blip.med, add_cross_attention=False)
+                self.lang_bert_enc = BertLangEncoder(
+                    bert_cfg, freeze=c.lang_bert_freeze,
+                    finetune_last_layer=c.lang_bert_finetune_last, name="lang_bert_enc")
             self.lang_feat_linear = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype,
                                              name="lang_feat_linear")
             self.lang_cls = MlpHead(c.hidden_size, c.num_object_class, 0.1, dtype=self.dtype, name="lang_cls")
@@ -238,7 +253,13 @@ class BridgeQA(nn.Module):
     def _forward_mcan(self, batch, det_out, object_feat, object_mask, *, train: bool):
         c = self.cfg
         out = {}
-        lang = self.lang_net(batch["lang_feat"], batch["lang_len"], train=train)
+        if c.lang_bert:
+            word_states = self.lang_bert_enc(batch["question_ids"], batch["question_mask"],
+                                             train=train)
+            lang_len = jnp.sum(batch["question_mask"], axis=1)
+            lang = self.lang_net(word_states, lang_len, train=train)
+        else:
+            lang = self.lang_net(batch["lang_feat"], batch["lang_len"], train=train)
         lang_mask = lang["lang_mask"][:, None, None, :]  # True = masked
         lang_feat = nn.gelu(self.lang_feat_linear(lang["lang_out"]), approximate=False)
 

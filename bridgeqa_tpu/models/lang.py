@@ -78,3 +78,47 @@ class CLIPLangModule(nn.Module):
         denom = jnp.maximum(lang_len[:, None], 1)
         lang_emb = jnp.sum(lang_out, axis=1) / denom
         return {"lang_out": lang_out, "lang_emb": lang_emb, "lang_mask": ~valid}
+
+
+class BertLangEncoder(nn.Module):
+    """``LangModule``'s ``bert_model_name`` option (``lang_module.py:27-46``):
+    a BERT text encoder over question token ids whose last hidden states feed
+    the LSTM instead of GloVe vectors. ``freeze`` / ``finetune_last_layer``
+    mirror the reference's ``requires_grad`` toggles via ``stop_gradient``
+    (full stop at the output, or a cut before the final layer so only its
+    parameters receive gradients).
+
+    Weights load from a BERT checkpoint with
+    ``utils.blip_checkpoint.convert_lm_head``-style converters (same med
+    BertModel tree as the BLIP text encoder).
+    """
+
+    config: "object"  # MedConfig
+    freeze: bool = False
+    finetune_last_layer: bool = False
+
+    def setup(self):
+        from bridgeqa_tpu.models.med import BertModel
+
+        assert not (self.freeze and self.finetune_last_layer)
+        self.bert = BertModel(self.config, name="bert")
+
+    def __call__(self, input_ids, attention_mask, *, train: bool):
+        """(B, L) ids/mask -> (B, L, hidden) word states."""
+        import jax
+
+        from bridgeqa_tpu.models.med import extend_attention_mask
+
+        deterministic = not train
+        bias = extend_attention_mask(attention_mask)
+        h = self.bert.embeddings(input_ids, deterministic=deterministic)
+        layers = self.bert.encoder.layer
+        for i, layer in enumerate(layers):
+            if self.finetune_last_layer and i == len(layers) - 1:
+                # cut the path into earlier layers' params; the last layer
+                # still trains (lang_module.py:38-46)
+                h = jax.lax.stop_gradient(h)
+            h, _, _ = layer(h, bias, None, None, deterministic, False)
+        if self.freeze:
+            h = jax.lax.stop_gradient(h)
+        return h

@@ -141,3 +141,50 @@ class TestClassifierMode:
         expect = (np.asarray(out_eval["answer_scores_2d"])
                   + np.asarray(out_eval["answer_scores_scene"])) / 2.0
         np.testing.assert_allclose(scores, expect, rtol=1e-5)
+
+
+class TestBertLangPath:
+    """MCAN path with the in-graph BERT language encoder (the reference's
+    LangModule bert_model_name option, lang_module.py:27-46), including the
+    finetune-last-layer gradient gating."""
+
+    def test_forward_and_freeze_semantics(self):
+        from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
+        from bridgeqa_tpu.models.blip_vqa3d import BlipVQA3DConfig
+        from bridgeqa_tpu.models.bridgeqa import BridgeQA, BridgeQAConfig
+        from bridgeqa_tpu.models.med import MedConfig
+
+        dc = ScannetDatasetConfig()
+        med = MedConfig(vocab_size=80, hidden_size=32, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=64,
+                        max_position_embeddings=40, encoder_width=32)
+        cfg = BridgeQAConfig(num_answers=10, num_proposal=16, hidden_size=32, use_blip=False,
+                             lang_bert=True, lang_bert_finetune_last=True,
+                             blip=BlipVQA3DConfig(med=med),
+                             mcan_num_layers=1, mcan_flat_out_size=32, mcan_flat_mlp_size=16,
+                             backbone_sa_npoints=(64, 32, 16, 8), backbone_sa_nsamples=(8, 8, 8, 8))
+        model = BridgeQA(cfg, mean_size_arr=dc.mean_size_arr)
+        rng = np.random.RandomState(0)
+        batch = dict(
+            point_clouds=jnp.asarray(rng.rand(2, 256, 3), jnp.float32),
+            question_ids=jnp.asarray(rng.randint(1, 70, (2, 9))),
+            question_mask=jnp.ones((2, 9), jnp.int32),
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                               batch, train=False)
+        out = model.apply(variables, batch, train=False)
+        assert out["answer_scores"].shape == (2, 10)
+        assert np.isfinite(np.asarray(out["answer_scores"], np.float32)).all()
+
+        def loss(p):
+            o, _ = model.apply({"params": p, "batch_stats": variables["batch_stats"]},
+                               batch, train=True, mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(o["answer_scores"].astype(jnp.float32) ** 2)
+
+        grads = jax.grad(loss)(variables["params"])
+        enc = grads["lang_bert_enc"]["bert"]["encoder"]
+        g0 = float(jnp.abs(jnp.asarray(enc["layer_0"]["attention"]["self"]["query"]["kernel"])).sum())
+        g1 = float(jnp.abs(jnp.asarray(enc["layer_1"]["attention"]["self"]["query"]["kernel"])).sum())
+        assert g0 == 0.0, "frozen lower layer received gradients"
+        assert g1 > 0.0, "finetuned last layer received no gradients"
