@@ -38,6 +38,11 @@ def initialize_distributed(coordinator_address=None, num_processes=None, process
     ``scripts/train.py:181-187``). With no arguments, coordinator/process
     info comes from the environment (JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the cloud TPU metadata)."""
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized (idempotent: callers may pre-initialize
+        # before any module-level jnp constants touch the backend)
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address

@@ -99,15 +99,15 @@ class Solver:
             for epoch in range(start_epoch, self.cfg.epochs):
                 rng, epoch_rng = jax.random.split(rng)
                 state = self._train_epoch(state, train_loader, val_loader, epoch, epoch_rng)
-                if self.main_process:
-                    checkpoints.save_params(self.run_dir, "model_last",
-                                            jax.device_get(state.params),
-                                            jax.device_get(state.batch_stats))
-                    checkpoints.save_train_state(self.run_dir, state, epoch + 1)
+                # Orbax saves are collective in multihost runs (every process
+                # must participate; only the primary host writes)
+                checkpoints.save_params(self.run_dir, "model_last",
+                                        jax.device_get(state.params),
+                                        jax.device_get(state.batch_stats))
+                checkpoints.save_train_state(self.run_dir, state, epoch + 1)
         except KeyboardInterrupt:
             self.log.info("interrupted — saving resumable checkpoint")
-            if self.main_process:
-                checkpoints.save_train_state(self.run_dir, state, -1)
+            checkpoints.save_train_state(self.run_dir, state, -1)
             raise
         return state
 
@@ -188,12 +188,11 @@ class Solver:
             self.best_criterion = crit
             self.best_epoch = epoch
             self.log.info(f"new best {cfg.cur_criterion}={crit:.4f} — saving model")
-            if self.main_process:
-                checkpoints.save_params(self.run_dir, "model",
-                                        jax.device_get(state.params),
-                                        jax.device_get(state.batch_stats))
-                if preds:
-                    self._write_predictions_csv(preds)
+            checkpoints.save_params(self.run_dir, "model",
+                                    jax.device_get(state.params),
+                                    jax.device_get(state.batch_stats))
+            if preds and self.main_process:
+                self._write_predictions_csv(preds)
         return state
 
     def _write_predictions_csv(self, preds):

@@ -82,3 +82,36 @@ def test_two_process_training_matches_single_process():
     np.testing.assert_allclose(results[0]["loss"], exp_loss, rtol=1e-6)
     np.testing.assert_allclose(results[0]["loss2"], exp_loss2, rtol=1e-6)
     np.testing.assert_allclose(results[0]["fingerprint"], exp_fp, rtol=1e-6)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(sys.platform != "linux", reason="Gloo coordinator test")
+def test_two_process_full_training_driver(tmp_path):
+    """The REAL scripts/train.py with --distributed on two OS processes:
+    per-process loader shards, global-batch assembly, sharded step, and
+    rank-0-only artifact writes."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(REPO, "tests", "_mh_train_worker.py")
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(pid), "2", str(port), str(tmp_path)],
+                         env=env, cwd=REPO, stdout=subprocess.PIPE,
+                         stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=900)
+        assert p.returncode == 0, f"driver worker failed:\nstdout={out[-2000:]}\nstderr={err[-4000:]}"
+        line = [ln for ln in out.strip().splitlines() if ln.startswith("{")][-1]
+        r = json.loads(line)
+        results[r["pid"]] = r
+
+    assert results[0]["process_count"] == 2
+    # replicated training state -> identical best criterion on both ranks
+    assert results[0]["best"] == results[1]["best"]
+    run_dir = os.path.join(str(tmp_path), "mh_driver")
+    assert os.path.exists(os.path.join(run_dir, "info.json"))
+    assert os.path.exists(os.path.join(run_dir, "cmdline.txt"))
