@@ -10,6 +10,11 @@ detection lists) stays on host.
 Semantics notes:
 - corner decode uses ``class2angle`` *without* the param2obb negation, like
   ``ap_helper.py:80-84`` (identical for ScanNet's heading 0);
+- AP matching uses the axis-aligned IoU (the reference's *active*
+  ``box3d_iou`` body) by default; configs with ``num_heading_bin > 1`` must
+  construct ``APCalculator(..., rotated=True)`` / pass ``rotated=True`` to
+  ``eval_det`` to get the general convex-clip IoU
+  (``geometry.boxes.box3d_iou_oriented``);
 - ``remove_empty_box`` checks points-in-box with axis-aligned extents; the
   reference used a Delaunay in-hull test (``extract_pc_in_box3d``), which is
   equivalent for ScanNet's axis-aligned boxes;
@@ -186,7 +191,18 @@ def _aabb_iou_np(c1, c2):
     return inter / (v1 + v2 - inter + 1e-8)
 
 
-def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False):
+def _oriented_iou_np(c1, c2):
+    """Host-side rotated-box IoU for AP matching (same convex-clip
+    semantics as ``geometry.boxes.box3d_iou_oriented``): needed whenever
+    the dataset config has ``num_heading_bin > 1`` — the axis-aligned
+    matcher silently under/over-counts rotated overlaps."""
+    from bridgeqa_tpu.geometry.boxes import box3d_iou_oriented
+
+    return float(np.asarray(box3d_iou_oriented(
+        jnp.asarray(c1, jnp.float32), jnp.asarray(c2, jnp.float32))))
+
+
+def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False, rotated=False):
     """Per-class PR/AP (``eval_det.py:57-140``)."""
     class_recs = {}
     npos = 0
@@ -217,7 +233,8 @@ def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False):
         bbgt = rec_d["bbox"]
         ovmax, jmax = -np.inf, -1
         for j in range(len(bbgt)):
-            iou = _aabb_iou_np(np.asarray(boxes[d], float), np.asarray(bbgt[j], float))
+            iou_fn = _oriented_iou_np if rotated else _aabb_iou_np
+            iou = iou_fn(np.asarray(boxes[d], float), np.asarray(bbgt[j], float))
             if iou > ovmax:
                 ovmax, jmax = iou, j
         if ovmax > ovthresh:
@@ -236,7 +253,7 @@ def eval_det_cls(pred, gt, ovthresh=0.25, use_07_metric=False):
     return rec, prec, voc_ap(rec, prec, use_07_metric)
 
 
-def eval_det(pred_all, gt_all, ovthresh=0.25, use_07_metric=False):
+def eval_det(pred_all, gt_all, ovthresh=0.25, use_07_metric=False, rotated=False):
     """Multi-class detection eval (``eval_det.py:143-236``, single-process).
 
     pred_all: {img_id: [(cls, corners, score)]}; gt_all: {img_id: [(cls, corners)]}.
@@ -258,7 +275,8 @@ def eval_det(pred_all, gt_all, ovthresh=0.25, use_07_metric=False):
     rec, prec, ap = {}, {}, {}
     for cls in gt:
         if cls in pred:
-            rec[cls], prec[cls], ap[cls] = eval_det_cls(pred[cls], gt[cls], ovthresh, use_07_metric)
+            rec[cls], prec[cls], ap[cls] = eval_det_cls(pred[cls], gt[cls], ovthresh,
+                                                        use_07_metric, rotated)
         else:  # eval_det.py:232-235 (gt class never predicted)
             rec[cls], prec[cls], ap[cls] = 0, 0, 0
     return rec, prec, ap
@@ -268,9 +286,10 @@ class APCalculator:
     """``APCalculator`` (``ap_helper.py:225-279``): accumulate batches, then
     per-class AP + recall + mAP/AR."""
 
-    def __init__(self, ap_iou_thresh=0.25, class2type_map=None):
+    def __init__(self, ap_iou_thresh=0.25, class2type_map=None, rotated=False):
         self.ap_iou_thresh = ap_iou_thresh
         self.class2type_map = class2type_map
+        self.rotated = rotated  # num_heading_bin > 1 configs
         self.reset()
 
     def step(self, batch_pred_map_cls, batch_gt_map_cls):
@@ -281,7 +300,8 @@ class APCalculator:
             self.scan_cnt += 1
 
     def compute_metrics(self):
-        rec, prec, ap = eval_det(self.pred_map_cls, self.gt_map_cls, ovthresh=self.ap_iou_thresh)
+        rec, prec, ap = eval_det(self.pred_map_cls, self.gt_map_cls,
+                                 ovthresh=self.ap_iou_thresh, rotated=self.rotated)
         ret = {}
         for key in sorted(ap.keys()):
             name = self.class2type_map[key] if self.class2type_map else str(key)

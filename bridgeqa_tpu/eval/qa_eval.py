@@ -11,7 +11,7 @@ and jits.
 import jax
 import jax.numpy as jnp
 
-from bridgeqa_tpu.geometry.boxes import box3d_iou_batch, get_3d_box_batch, params_to_obb
+from bridgeqa_tpu.geometry.boxes import box3d_iou_auto, get_3d_box_batch, params_to_obb
 
 
 def _answer_acc(scores, answer_cats, topk: int = 10):
@@ -79,7 +79,7 @@ def get_eval(end_points, config, *, use_lang_classifier: bool = False):
     gt_obb = params_to_obb(gt_center, gt_hcls, gt_hres, gt_scls, gt_sres, mean_size_arr, nh)
     pred_bbox = get_3d_box_batch(pred_obb[..., 3:6], pred_obb[..., 6], pred_obb[..., 0:3])
     gt_bbox = get_3d_box_batch(gt_obb[..., 3:6], gt_obb[..., 6], gt_obb[..., 0:3])
-    ious = box3d_iou_batch(pred_bbox, gt_bbox)  # (B,)
+    ious = box3d_iou_auto(pred_bbox, gt_bbox, num_heading_bin=nh)  # (B,)
 
     end_points["ref_iou"] = ious
     end_points["ref_iou_rate_0.25"] = jnp.mean((ious >= 0.25).astype(jnp.float32))

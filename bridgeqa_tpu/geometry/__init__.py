@@ -8,7 +8,9 @@ loops were its main GPU-sync bottleneck, SURVEY.md §3.5).
 
 from bridgeqa_tpu.geometry.boxes import (
     get_3d_box_batch,
+    box3d_iou_auto,
     box3d_iou_batch,
+    box3d_iou_oriented,
     box3d_min_max,
     params_to_obb,
     decode_pred_box,
@@ -18,7 +20,9 @@ from bridgeqa_tpu.geometry.nn_distance import nn_distance, huber_loss
 
 __all__ = [
     "get_3d_box_batch",
+    "box3d_iou_auto",
     "box3d_iou_batch",
+    "box3d_iou_oriented",
     "box3d_min_max",
     "params_to_obb",
     "decode_pred_box",

@@ -8,6 +8,7 @@ runs inside the jitted forward pass instead of syncing to host every step.
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def heading_class_residual_to_angle(heading_class, heading_residual, num_heading_bin: int):
@@ -77,6 +78,129 @@ def box3d_iou_batch(corners1, corners2):
     vol1 = jnp.prod(mx1 - mn1, axis=-1)
     vol2 = jnp.prod(mx2 - mn2, axis=-1)
     return inter / (vol1 + vol2 - inter + 1e-8)
+
+
+def _clip_polygon_area(rect1, rect2):
+    """Area of the intersection of two counter-clockwise quads (2D).
+
+    Batched fixed-shape Sutherland–Hodgman (reference ``polygon_clip``,
+    ``utils/box_util.py:6-52``): the subject polygon is clipped by the four
+    edges of the (convex) clip quad. A convex-convex quad intersection has
+    at most 8 vertices, so the vertex list lives in a padded (9, 2) buffer
+    (slot 8 is the dump slot); emptying at any stage yields area 0, matching
+    the reference's ``None`` return.
+
+    rect1/rect2: (4, 2) CCW vertices. Returns scalar area.
+    """
+    buf = 8
+
+    verts = jnp.zeros((buf, 2), jnp.float32).at[:4].set(rect1)
+    n = jnp.int32(4)
+    slot = jnp.arange(buf)
+
+    def clip_edge(carry, edge):
+        verts, n = carry
+        cp1, cp2 = edge[0], edge[1]
+        valid = slot < n
+        # previous valid vertex (wraps to slot n-1)
+        prev = jnp.roll(verts, 1, axis=0)
+        last = verts[jnp.maximum(n - 1, 0)]
+        prev = prev.at[0].set(last)
+
+        def side(p):  # strict ">" inside test, as the reference
+            return ((cp2[0] - cp1[0]) * (p[..., 1] - cp1[1])
+                    - (cp2[1] - cp1[1]) * (p[..., 0] - cp1[0])) > 0
+
+        ins = side(verts)
+        ins_prev = side(prev)
+
+        # line-line intersection (reference computeIntersection)
+        dc = cp1 - cp2
+        dp = prev - verts  # s - e
+        denom = dc[0] * dp[..., 1] - dc[1] * dp[..., 0]
+        safe = jnp.where(jnp.abs(denom) < 1e-12, 1.0, denom)
+        n1 = cp1[0] * cp2[1] - cp1[1] * cp2[0]
+        n2 = prev[..., 0] * verts[..., 1] - prev[..., 1] * verts[..., 0]
+        inter = (n1 * dp - n2[:, None] * dc[None, :]) / safe[:, None]
+
+        # per input vertex, candidates in reference append order:
+        # [intersection (on crossing), the vertex itself (when inside)]
+        flags = jnp.stack([valid & (ins != ins_prev), valid & ins],
+                          axis=1).reshape(-1)  # (2*buf,)
+        cands = jnp.stack([inter, verts], axis=1).reshape(-1, 2)
+        pos = jnp.cumsum(flags) - 1
+        idx = jnp.where(flags, pos, buf)
+        new_verts = jnp.zeros((buf + 1, 2), jnp.float32).at[idx].set(cands)[:buf]
+        return (new_verts, jnp.sum(flags).astype(jnp.int32)), None
+
+    edges = jnp.stack([jnp.roll(rect2, 1, axis=0), rect2], axis=1)  # (4, 2, 2)
+    (verts, n), _ = lax.scan(clip_edge, (verts, n), edges)
+
+    # shoelace with padding slots pinned to v0 (degenerate edges add 0)
+    v0 = verts[0]
+    verts = jnp.where((slot < jnp.maximum(n, 1))[:, None], verts, v0[None, :])
+    x, y = verts[:, 0], verts[:, 1]
+    xn, yn = jnp.roll(x, -1), jnp.roll(y, -1)
+    area = 0.5 * jnp.abs(jnp.sum(x * yn - xn * y))
+    return jnp.where(n >= 3, area, 0.0)
+
+
+def box3d_iou_oriented(corners1, corners2):
+    """General rotated-box 3D IoU via convex polygon clipping.
+
+    The reference's full (pre-simplification) ``box3d_iou`` semantics
+    (``utils/box_util.py:6-126``: Sutherland–Hodgman top-face clipping x
+    vertical overlap, volumes from edge lengths). The reference ships that
+    body commented out in favour of the axis-aligned min/max form — valid
+    for ScanNet's heading==0 — but any ``num_heading_bin > 1`` config needs
+    this one (see ``box3d_iou_auto``).
+
+    Axis convention: the reference's commented body targeted the original
+    SUN-RGBD y-up corner layout, but its ScanNet-modified
+    ``get_3d_box_batch`` (``box_util.py:317-320``, the uncommented lines)
+    puts l,w on x,y and h on z — corners 0-3 are the TOP face and z is
+    vertical. This implementation applies the same algorithm in that (the
+    repo's golden-pinned) convention: footprint clipping in (x, y),
+    vertical overlap from z.
+
+    corners1/corners2: (..., 8, 3) in the ``get_3d_box_batch`` convention.
+    Broadcasts over leading dims. Returns (...,) IoU.
+    """
+    corners1, corners2 = jnp.broadcast_arrays(
+        corners1.astype(jnp.float32), corners2.astype(jnp.float32))
+    batch_shape = corners1.shape[:-2]
+    c1 = corners1.reshape(-1, 8, 3)
+    c2 = corners2.reshape(-1, 8, 3)
+
+    def one(a, b):
+        # top face reversed (3,2,1,0) = counter-clockwise in (x, y)
+        rect1 = a[jnp.array([3, 2, 1, 0])][:, jnp.array([0, 1])]
+        rect2 = b[jnp.array([3, 2, 1, 0])][:, jnp.array([0, 1])]
+        inter_area = _clip_polygon_area(rect1, rect2)
+        ymax = jnp.minimum(a[0, 2], b[0, 2])
+        ymin = jnp.maximum(a[4, 2], b[4, 2])
+        inter_vol = inter_area * jnp.maximum(0.0, ymax - ymin)
+
+        def vol(c):  # box3d_vol: edge-length product
+            ea = jnp.sqrt(jnp.sum((c[0] - c[1]) ** 2))
+            eb = jnp.sqrt(jnp.sum((c[1] - c[2]) ** 2))
+            ec = jnp.sqrt(jnp.sum((c[0] - c[4]) ** 2))
+            return ea * eb * ec
+
+        return inter_vol / (vol(a) + vol(b) - inter_vol + 1e-8)
+
+    iou = jax.vmap(one)(c1, c2)
+    return iou.reshape(batch_shape)
+
+
+def box3d_iou_auto(corners1, corners2, *, num_heading_bin: int = 1):
+    """IoU dispatch: the axis-aligned fast path is exact for heading==0
+    (ScanNet, ``num_heading_bin == 1`` — every decoded heading is the
+    residual around bin 0, treated as 0 by the reference's active
+    ``box3d_iou``); rotated configs get the general convex-clip IoU."""
+    if num_heading_bin == 1:
+        return box3d_iou_batch(corners1, corners2)
+    return box3d_iou_oriented(corners1, corners2)
 
 
 def aabb_iou(min1, max1, min2, max2):

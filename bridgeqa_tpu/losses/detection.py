@@ -13,7 +13,7 @@ pred-vs-GT IoU argmax runs as batched jnp inside the jitted step.
 import jax
 import jax.numpy as jnp
 
-from bridgeqa_tpu.geometry.boxes import box3d_iou_batch, get_3d_box_batch, params_to_obb
+from bridgeqa_tpu.geometry.boxes import box3d_iou_auto, get_3d_box_batch, params_to_obb
 from bridgeqa_tpu.geometry.nn_distance import huber_loss, nn_distance
 
 FAR_THRESHOLD = 0.6
@@ -159,7 +159,7 @@ def compute_reference_loss(end_points, config):
     )  # (B, 7)
     gt_bbox = get_3d_box_batch(gt_obb[..., 3:6], gt_obb[..., 6], gt_obb[..., 0:3])  # (B, 8, 3)
 
-    ious = box3d_iou_batch(pred_bbox, gt_bbox[:, None])  # (B, K)
+    ious = box3d_iou_auto(pred_bbox, gt_bbox[:, None], num_heading_bin=nh)  # (B, K)
     labels = jax.nn.one_hot(jnp.argmax(ious, axis=1), ious.shape[1], dtype=jnp.float32)
 
     loss = softmax_ranking_loss(end_points["cluster_ref"], labels, mask=end_points.get("ref_obj_mask"))

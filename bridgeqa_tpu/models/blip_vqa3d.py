@@ -369,6 +369,17 @@ class BLIPVQA3D(nn.Module):
             )
             best_ids, best_scores = ids[:, 0], scores[:, 0]
         else:
+            import warnings
+
+            warnings.warn(
+                "use_kv_cache=False: the prefix-rerun beam search re-interprets "
+                "a beam's prefix under its destination row's question stream when "
+                "beams hop between the 2D/3D halves — sequences can differ from "
+                "the (default, reference-matching) cached path. Prefer "
+                "use_kv_cache=True.",
+                stacklevel=2,
+            )
+
             def decoder_apply(ids, mask, enc_states, enc_mask):
                 logits, _ = self.text_decoder(ids, mask, enc_states, enc_mask, deterministic=True)
                 return logits

@@ -51,6 +51,10 @@ class MedConfig:
     pad_token_id: int = 0
     add_cross_attention: bool = True
     remat: bool = False  # rematerialize each layer (training memory)
+    # Fused Pallas answer-scoring path (whole-layer megakernel + streaming
+    # vocab loss): "auto" = on TPU only, "force" = also off-TPU via the
+    # Pallas interpreter (tests), "off" = always the XLA module path.
+    fused_scoring: str = "auto"
 
     @property
     def twin_layers(self):
@@ -489,6 +493,11 @@ class BertLMHeadModel(nn.Module):
         label-smoothed loss in sequential batch chunks via ``lax.map``; only
         the per-sequence loss is returned (logits come back as None).
         """
+        fused = self._fused_scoring_loss(
+            input_ids, encoder_hidden_states, encoder_attention_mask, labels,
+            deterministic=deterministic)
+        if fused is not None:
+            return None, fused
         sequence_output = self.bert(
             input_ids,
             attention_mask=attention_mask,
@@ -528,6 +537,56 @@ class BertLMHeadModel(nn.Module):
         logits = self.cls(sequence_output, word_embed)
         loss = label_smoothed_lm_loss(logits, labels) if labels is not None else None
         return logits, loss
+
+    def _fused_scoring_loss(self, input_ids, encoder_hidden_states,
+                            encoder_attention_mask, labels, *, deterministic):
+        """Answer-scoring fast path: whole-layer Pallas megakernel decoder
+        body + streaming vocab loss. Returns the per-sequence loss, or None
+        when the regular module path should run instead.
+
+        Active only for the grouped rank-answer shapes (query batch a
+        multiple >=2 of the encoder batch), deterministic, with labels —
+        exactly the ``rank_answer`` full-scoring call. Numerically this path
+        drops the answer padding mask (equivalent for right-padded answers:
+        every unmasked-loss row sees only valid tokens under the causal
+        mask) and accumulates the vocab projection in f32 instead of
+        truncating to bf16 (strictly tighter); ``tests/test_scoring_fused.py``
+        pins the equivalence.
+        """
+        import jax as _jax
+
+        from bridgeqa_tpu.ops.scoring_layer import (
+            fused_scoring_capable,
+            scoring_decoder_body,
+        )
+        from bridgeqa_tpu.ops.vocab_loss import label_smoothed_loss_streaming
+
+        c = self.config
+        if (labels is None or not deterministic or encoder_hidden_states is None
+                or c.remat or c.fused_scoring == "off" or self.is_initializing()):
+            return None
+        dt = self.dtype if self.dtype is not None else jnp.float32
+        if not fused_scoring_capable(c, input_ids.shape[0],
+                                     encoder_hidden_states.shape[0],
+                                     input_ids.shape[1], c.hidden_size, dt):
+            return None
+        on_tpu = _jax.default_backend() == "tpu"
+        if not on_tpu and c.fused_scoring != "force":
+            return None
+
+        emb = self.bert.embeddings(input_ids, deterministic=True)
+        if encoder_attention_mask is None:
+            encoder_attention_mask = jnp.ones(encoder_hidden_states.shape[:2],
+                                              dtype=jnp.int32)
+        enc_params = self.variables["params"]["bert"]["encoder"]
+        x = scoring_decoder_body(
+            enc_params, emb, encoder_hidden_states, encoder_attention_mask,
+            config=c, dtype=dt, interpret=not on_tpu,
+        )
+        h_t = self.cls.transform(x)[:, :-1, :]
+        table = jnp.asarray(self.bert.embeddings.word_embeddings.embedding, dt)
+        return label_smoothed_loss_streaming(
+            h_t, labels[:, 1:], table, self.cls.bias, interpret=not on_tpu)
 
     # ---- KV-cache decode path (generation; see BertLayer.decode_step) ----
 

@@ -1,11 +1,13 @@
 """Native (C++) data-loader kernels, ctypes-bound.
 
-Replaces the reference's host-side per-sample Python loops — vote-label
-computation (``lib/dataset.py:496-510``), augmentation transforms
-(447-491), and the sampling gather (415) — with one-pass C++ kernels
-(``src/dataset_ops.cpp``). Built on first import with g++ (cached .so);
-callers fall back to the numpy implementations when no compiler is
-available, so the package stays importable everywhere.
+Replaces the reference's host-side per-sample vote-label Python loop
+(``lib/dataset.py:496-510``) with a one-pass C++ kernel
+(``src/dataset_ops.cpp``), called from ``data/pipeline.py``. Built on
+first import with g++ (cached .so); callers fall back to the numpy
+implementation when no compiler is available, so the package stays
+importable everywhere. (The augmentation/gather steps stay in numpy: the
+reference's interleaved per-axis box rotations pin the exact FP evaluation
+order, and numpy fancy-indexing is already a native-speed gather.)
 """
 
 import ctypes
@@ -38,17 +40,6 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ]
-        lib.transform_points.restype = None
-        lib.transform_points.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int, ctypes.c_int,
-        ]
-        lib.gather_rows.restype = None
-        lib.gather_rows.argtypes = [
-            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
-            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
         ]
         _lib = lib
     except Exception as e:  # noqa: BLE001 — any failure means "no native path"
@@ -95,36 +86,3 @@ def compute_votes(points, instance_labels, sem_ok):
     return votes, mask
 
 
-def transform_points(pc, rot, trans=(0.0, 0.0, 0.0), flip_x=False, flip_y=False):
-    """In-place xyz transform of pc[:, :3]: optional flips, then
-    ``@ rot.T + trans``. pc must be float32 C-contiguous; returns pc."""
-    assert pc.dtype == np.float32 and pc.flags.c_contiguous
-    rot = np.ascontiguousarray(rot, np.float32)
-    trans = np.ascontiguousarray(trans, np.float32)
-    lib = _load()
-    if lib is not None:
-        lib.transform_points(_fptr(pc), ctypes.c_int64(pc.shape[0]),
-                             ctypes.c_int64(pc.shape[1]), _fptr(rot), _fptr(trans),
-                             int(flip_x), int(flip_y))
-        return pc
-    xyz = pc[:, :3].copy()
-    if flip_x:
-        xyz[:, 0] = -xyz[:, 0]
-    if flip_y:
-        xyz[:, 1] = -xyz[:, 1]
-    pc[:, :3] = xyz @ rot.T + trans
-    return pc
-
-
-def gather_rows(src, choices):
-    """src (N, C) float32, choices (M,) int64 -> (M, C) float32 copy."""
-    src = np.ascontiguousarray(src, np.float32)
-    choices = np.ascontiguousarray(choices, np.int64)
-    out = np.empty((choices.shape[0], src.shape[1]), np.float32)
-    lib = _load()
-    if lib is not None:
-        lib.gather_rows(_fptr(src), choices.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                        ctypes.c_int64(choices.shape[0]), ctypes.c_int64(src.shape[1]),
-                        _fptr(out))
-        return out
-    return src[choices]

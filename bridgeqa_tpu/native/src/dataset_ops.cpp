@@ -78,31 +78,4 @@ int compute_votes(const float* points, const int32_t* instance_labels,
   return contributing;
 }
 
-// In-place xyz transform: pc[:, :3] = pc[:, :3] @ rot^T + trans,
-// with optional axis flips applied first (dataset.py:447-491 order:
-// flips, then rotations, then translation — callers pass the composed
-// rotation; flips are sign masks).
-// pc: n*stride float32 (xyz in the first 3 columns), rot: 3x3 row-major.
-void transform_points(float* pc, int64_t n, int64_t stride, const float* rot,
-                      const float* trans, int flip_x, int flip_y) {
-  for (int64_t i = 0; i < n; ++i) {
-    float* p = pc + stride * i;
-    float x = flip_x ? -p[0] : p[0];
-    float y = flip_y ? -p[1] : p[1];
-    float z = p[2];
-    for (int d = 0; d < 3; ++d) {
-      p[d] = rot[3 * d + 0] * x + rot[3 * d + 1] * y + rot[3 * d + 2] * z + trans[d];
-    }
-  }
-}
-
-// Fused gather: out[j] = src[choices[j]] for row-major (n, c) float32.
-// (random_sampling's fancy-index copy, dataset.py:415.)
-void gather_rows(const float* src, const int64_t* choices, int64_t m, int64_t c,
-                 float* out) {
-  for (int64_t j = 0; j < m; ++j) {
-    std::memcpy(out + c * j, src + c * choices[j], sizeof(float) * c);
-  }
-}
-
 }  // extern "C"

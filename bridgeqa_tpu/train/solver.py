@@ -182,7 +182,15 @@ class Solver:
         self.log.info(f"val @ epoch {epoch + 1}: {agg.format()}  ({time.time() - t0:.1f}s)")
         self.log.scalars(self.global_iter, "val", val_metrics)
 
-        crit = val_metrics.get(cfg.cur_criterion, -val_metrics.get("loss", np.inf))
+        # The best-model criterion must be a GLOBAL scalar: with per-process
+        # val shards, a local mean lets ranks disagree on `better` and the
+        # collective save below would deadlock/diverge. Mirrors the
+        # reference's all_reduce'd criterion (lib/solver.py:598-610).
+        key = cfg.cur_criterion if cfg.cur_criterion in val_metrics else "loss"
+        s, n = agg.sum_count(key)
+        crit = self._global_mean(s, n)
+        if key != cfg.cur_criterion:  # fallback: criterion absent -> -loss
+            crit = -crit if n else -np.inf
         better = crit > self.best_criterion if cfg.criterion_higher_better else crit < self.best_criterion
         if better:
             self.best_criterion = crit
@@ -194,6 +202,18 @@ class Solver:
             if preds and self.main_process:
                 self._write_predictions_csv(preds)
         return state
+
+    def _global_mean(self, local_sum, local_count):
+        """Cross-process mean of a (sum, count) pair; identity when
+        single-process. All processes receive the same value, so the
+        best-checkpoint decision (and its collective Orbax save) agrees."""
+        if jax.process_count() == 1:
+            return local_sum / max(local_count, 1)
+        from jax.experimental import multihost_utils
+
+        totals = np.asarray(multihost_utils.process_allgather(
+            np.asarray([local_sum, float(local_count)], np.float64))).reshape(-1, 2).sum(axis=0)
+        return float(totals[0] / max(totals[1], 1.0))
 
     def _write_predictions_csv(self, preds):
         import csv

@@ -95,6 +95,11 @@ class RunningMeans:
     def means(self) -> dict:
         return {k: self._sums[k] / max(self._counts[k], 1) for k in self._sums}
 
+    def sum_count(self, key) -> tuple:
+        """(sum, count) for one metric — the reducible form for
+        cross-process (multi-host) aggregation."""
+        return self._sums.get(key, 0.0), self._counts.get(key, 0)
+
     def reset(self):
         self._sums.clear()
         self._counts.clear()

@@ -45,6 +45,14 @@ def main(argv=None):
 
     preds_by_qid = {str(p["question_id"]): p for p in preds}
     results = score_predictions(preds_by_qid, gold_records)
+    # self-describing completeness markers (vs the reference's pycocoevalcap
+    # stack, scripts/score.py:128-148): parity comparisons must not silently
+    # assume these are the Java-pipeline variants
+    results["_metric_notes"] = {
+        "SPICE": "not computed (Java pycocoevalcap pipeline; out of scope offline)",
+        "METEOR": "Lavie-Agarwal aligner, exact + Porter-stem stages; "
+                  "WordNet synonym stage inactive (no corpus data offline)",
+    }
     out_path = os.path.join(args.run_dir, f"report.{args.split}.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)

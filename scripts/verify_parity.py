@@ -72,6 +72,13 @@ def main(argv=None):
     import jax.numpy as jnp
     import torch
 
+    # Bitwise box comparison is this tool's contract: pin the ball-query
+    # EXACT mode (the TPU default is the stripe kernel — distribution-
+    # equivalent but not bitwise vs the reference's in-order fill).
+    from bridgeqa_tpu.ops import grouping as _grouping
+
+    _grouping.FORCE_MODE = "exact"
+
     from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
     from bridgeqa_tpu.eval.detection_eval import parse_predictions
     from bridgeqa_tpu.models.bridgeqa import BridgeQA, BridgeQAConfig

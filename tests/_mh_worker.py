@@ -38,6 +38,7 @@ from flax import linen as nn  # noqa: E402
 
 from tests.toy_data import ToyDataset, toy_model_params_and_step  # noqa: E402
 from bridgeqa_tpu.data.pipeline import BatchIterator  # noqa: E402
+from bridgeqa_tpu.train.solver import Solver  # noqa: E402
 
 assert jax.process_count() == nproc, jax.process_count()
 assert jax.local_device_count() == 4
@@ -56,5 +57,15 @@ opt_state = jax.tree.map(lambda a: replicate_array(np.asarray(a), mesh), opt_sta
 params, opt_state, loss = step(params, opt_state, gbatch)
 params, opt_state, loss2 = step(params, opt_state, gbatch)
 fingerprint = float(jnp.sum(jnp.abs(params["params"]["kernel"])))
+
+# Solver._global_mean with DIVERGENT local val shards: the per-process
+# criteria (0.8 vs 0.2 here) would flip `better` between ranks; the global
+# reduction must hand every rank the identical scalar so the collective
+# best-checkpoint save stays in lockstep (round-2 verdict weak #7).
+local_sum = 0.8 * 3 if pid == 0 else 0.2 * 5
+local_count = 3 if pid == 0 else 5
+global_crit = Solver._global_mean(None, local_sum, local_count)
+
 print(json.dumps({"pid": pid, "loss": float(loss), "loss2": float(loss2),
-                  "fingerprint": fingerprint}), flush=True)
+                  "fingerprint": fingerprint, "global_crit": global_crit}),
+      flush=True)

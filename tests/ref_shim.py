@@ -111,6 +111,45 @@ def install_reference_shims():
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
 
+    # transformers >= 4.50: PreTrainedModel no longer inherits
+    # GenerationMixin, so the reference's BertLMHeadModel loses `.generate`
+    # (med.py:1447-1470 implements the prepare_inputs/_reorder_cache hooks
+    # but relies on the old inheritance). Graft the mixin back onto the
+    # class BEFORE any model is instantiated so can_generate() is true and
+    # generation_config gets created.
+    try:
+        from transformers.generation import GenerationMixin
+
+        import models.med as _ref_med
+
+        if not issubclass(_ref_med.BertLMHeadModel, GenerationMixin):
+            # BLIP pre-tiles encoder_hidden_states to num_beams*2 rows and
+            # relies on the OLD expansion rule (only input_ids/attention
+            # masks get repeated); new HF expands every tensor kwarg, which
+            # would double-tile them — exclude those two keys.
+            @staticmethod
+            def _expand_inputs_for_generation(expand_size=1, is_encoder_decoder=False,
+                                              input_ids=None, **model_kwargs):
+                keep = {k: model_kwargs.pop(k)
+                        for k in ("encoder_hidden_states", "encoder_attention_mask")
+                        if k in model_kwargs}
+                input_ids, model_kwargs = GenerationMixin._expand_inputs_for_generation(
+                    expand_size=expand_size, is_encoder_decoder=is_encoder_decoder,
+                    input_ids=input_ids, **model_kwargs)
+                model_kwargs.update(keep)
+                return input_ids, model_kwargs
+
+            patched = type("BertLMHeadModel",
+                           (_ref_med.BertLMHeadModel, GenerationMixin),
+                           {"_expand_inputs_for_generation": _expand_inputs_for_generation})
+            _ref_med.BertLMHeadModel = patched
+            for modname in ("models.blip_vqa_3d", "models.blip"):
+                m = sys.modules.get(modname)
+                if m is not None and hasattr(m, "BertLMHeadModel"):
+                    m.BertLMHeadModel = patched
+    except ImportError:
+        pass
+
 
 def import_ref_dataset():
     """Import ``lib.dataset`` despite its module-level reads of absent data

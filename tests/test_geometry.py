@@ -153,3 +153,133 @@ class TestNNDistance:
         got = np.asarray(huber_loss(err, delta=1.0))
         want = np.array([1.5, 0.125, 0.0, 0.125, 1.5])
         np.testing.assert_allclose(got, want)
+
+
+class TestOrientedIoU:
+    """``box3d_iou_oriented`` vs a direct oracle of the reference's
+    convex-hull ``box3d_iou`` algorithm (``utils/box_util.py:6-126``, the
+    pre-simplification body: Sutherland-Hodgman top-face clipping x vertical
+    overlap, ConvexHull area, volumes from edge lengths)."""
+
+    @staticmethod
+    def _oracle(corners1, corners2):
+        from scipy.spatial import ConvexHull
+
+        def polygon_clip(subject, clip):
+            def inside(p):
+                return (cp2[0] - cp1[0]) * (p[1] - cp1[1]) > (cp2[1] - cp1[1]) * (p[0] - cp1[0])
+
+            def intersection():
+                dc = [cp1[0] - cp2[0], cp1[1] - cp2[1]]
+                dp = [s[0] - e[0], s[1] - e[1]]
+                n1 = cp1[0] * cp2[1] - cp1[1] * cp2[0]
+                n2 = s[0] * e[1] - s[1] * e[0]
+                n3 = 1.0 / (dc[0] * dp[1] - dc[1] * dp[0])
+                return [(n1 * dp[0] - n2 * dc[0]) * n3, (n1 * dp[1] - n2 * dc[1]) * n3]
+
+            out = subject
+            cp1 = clip[-1]
+            for cp2 in clip:
+                inp, out, s = out, [], out[-1]
+                for e in inp:
+                    if inside(e):
+                        if not inside(s):
+                            out.append(intersection())
+                        out.append(e)
+                    elif inside(s):
+                        out.append(intersection())
+                    s = e
+                cp1 = cp2
+                if len(out) == 0:
+                    return None
+            return out
+
+        # reference algorithm in this repo's ScanNet axis convention:
+        # footprint (x, y), z vertical (see box3d_iou_oriented docstring)
+        rect1 = [(corners1[i, 0], corners1[i, 1]) for i in range(3, -1, -1)]
+        rect2 = [(corners2[i, 0], corners2[i, 1]) for i in range(3, -1, -1)]
+        inter = polygon_clip(rect1, rect2)
+        inter_area = ConvexHull(inter).volume if inter is not None else 0.0
+        ymax = min(corners1[0, 2], corners2[0, 2])
+        ymin = max(corners1[4, 2], corners2[4, 2])
+        inter_vol = inter_area * max(0.0, ymax - ymin)
+
+        def vol(c):
+            a = np.sqrt(np.sum((c[0] - c[1]) ** 2))
+            b = np.sqrt(np.sum((c[1] - c[2]) ** 2))
+            cc = np.sqrt(np.sum((c[0] - c[4]) ** 2))
+            return a * b * cc
+
+        return inter_vol / (vol(corners1) + vol(corners2) - inter_vol)
+
+    @staticmethod
+    def _zrot_boxes(rng, n):
+        """Corners for boxes rotated about the VERTICAL (z) axis in the
+        repo's corner ordering (top face 0-3 at z=+h/2, clockwise in (x,y)
+        so that reversal gives CCW) — the well-posed rotated-box case."""
+        size = rng.uniform(0.3, 2.0, (n, 3)).astype(np.float32)
+        angle = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+        center = rng.uniform(-1.0, 1.0, (n, 3)).astype(np.float32)
+        sx = np.array([1, 1, -1, -1, 1, 1, -1, -1], np.float32)
+        sy = np.array([1, -1, -1, 1, 1, -1, -1, 1], np.float32)
+        sz = np.array([1, 1, 1, 1, -1, -1, -1, -1], np.float32)
+        x = sx[None] * size[:, :1] / 2
+        y = sy[None] * size[:, 1:2] / 2
+        z = sz[None] * size[:, 2:3] / 2
+        c, s = np.cos(angle)[:, None], np.sin(angle)[:, None]
+        rx = c * x - s * y
+        ry = s * x + c * y
+        return np.stack([rx, ry, z], axis=-1) + center[:, None, :]
+
+    def _random_boxes(self, rng, n):
+        return self._zrot_boxes(rng, n)
+
+    def test_random_headings_vs_oracle(self, rng):
+        from bridgeqa_tpu.geometry.boxes import box3d_iou_oriented
+
+        c1 = self._random_boxes(rng, 40)
+        c2 = self._random_boxes(rng, 40)
+        got = np.asarray(box3d_iou_oriented(jnp.asarray(c1), jnp.asarray(c2)))
+        want = np.array([self._oracle(a.astype(np.float64), b.astype(np.float64))
+                         for a, b in zip(c1, c2)])
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_near_identical_boxes(self, rng):
+        """Exactly-coincident edges are degenerate for the reference's
+        strict-inequality clip (0/0 intersection denominators — the oracle
+        itself NaNs there), so pin the near-identical case instead."""
+        from bridgeqa_tpu.geometry.boxes import box3d_iou_oriented
+
+        c = self._random_boxes(rng, 8)
+        eps = rng.uniform(1e-3, 2e-3, c.shape).astype(np.float32)
+        got = np.asarray(box3d_iou_oriented(jnp.asarray(c), jnp.asarray(c + eps)))
+        assert np.all(got > 0.95) and np.all(got <= 1.0 + 1e-6)
+
+    def test_disjoint_boxes(self):
+        from bridgeqa_tpu.geometry.boxes import box3d_iou_oriented, get_3d_box_batch
+
+        c1 = get_3d_box_batch(jnp.ones((1, 3)), jnp.asarray([0.7]), jnp.zeros((1, 3)))
+        c2 = get_3d_box_batch(jnp.ones((1, 3)), jnp.asarray([-0.3]),
+                              jnp.asarray([[5.0, 0.0, 0.0]]))
+        np.testing.assert_allclose(
+            np.asarray(box3d_iou_oriented(c1, c2)), np.zeros(1), atol=1e-7)
+
+    def test_heading_zero_matches_axis_aligned(self, rng):
+        """With heading==0 the general IoU must agree with the axis-aligned
+        fast path (the box3d_iou_auto dispatch contract)."""
+        from bridgeqa_tpu.geometry.boxes import (
+            box3d_iou_batch,
+            box3d_iou_oriented,
+            get_3d_box_batch,
+        )
+
+        n = 16
+        size = jnp.asarray(rng.uniform(0.3, 2.0, (n, 3)), jnp.float32)
+        center1 = jnp.asarray(rng.uniform(-1, 1, (n, 3)), jnp.float32)
+        center2 = center1 + jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32)
+        zero = jnp.zeros((n,))
+        c1 = get_3d_box_batch(size, zero, center1)
+        c2 = get_3d_box_batch(size, zero, center2)
+        got = np.asarray(box3d_iou_oriented(c1, c2))
+        want = np.asarray(box3d_iou_batch(c1, c2))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

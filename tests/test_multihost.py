@@ -77,6 +77,11 @@ def test_two_process_training_matches_single_process():
     # both processes observe the identical (globally-reduced) loss and params
     assert results[0]["loss"] == results[1]["loss"]
     assert results[0]["fingerprint"] == results[1]["fingerprint"]
+    # divergent local val criteria (0.8 over 3 samples vs 0.2 over 5) must
+    # reduce to the same global best-checkpoint criterion on both ranks
+    assert results[0]["global_crit"] == results[1]["global_crit"]
+    # (process_allgather rounds through f32 — hence the 1e-6)
+    assert abs(results[0]["global_crit"] - (0.8 * 3 + 0.2 * 5) / 8.0) < 1e-6
 
     exp_loss, exp_loss2, exp_fp = _expected_single_process()
     np.testing.assert_allclose(results[0]["loss"], exp_loss, rtol=1e-6)

@@ -65,32 +65,6 @@ class TestComputeVotes:
         np.testing.assert_array_equal(votes[:, :3], votes[:, 6:9])
 
 
-class TestTransformPoints:
-    def test_rotation_translation_flips(self):
-        rng = np.random.RandomState(0)
-        pc = rng.rand(100, 7).astype(np.float32)  # extra feature columns
-        ref = pc.copy()
-        t = np.array([0.1, -0.2, 0.3], np.float32)
-        ang = 0.3
-        rot = np.array([[np.cos(ang), -np.sin(ang), 0],
-                        [np.sin(ang), np.cos(ang), 0], [0, 0, 1]], np.float32)
-
-        out = native.transform_points(pc.copy(), rot, t, flip_x=True, flip_y=False)
-        xyz = ref[:, :3].copy()
-        xyz[:, 0] = -xyz[:, 0]
-        expect = xyz @ rot.T + t
-        np.testing.assert_allclose(out[:, :3], expect, atol=1e-5)
-        np.testing.assert_array_equal(out[:, 3:], ref[:, 3:])  # features untouched
-
-
-class TestGatherRows:
-    def test_matches_fancy_indexing(self):
-        rng = np.random.RandomState(0)
-        src = rng.rand(1000, 131).astype(np.float32)
-        choices = rng.randint(0, 1000, 256).astype(np.int64)
-        np.testing.assert_array_equal(native.gather_rows(src, choices), src[choices])
-
-
 class TestPipelineIntegration:
     def test_dataset_votes_unchanged(self):
         """The pipeline with native votes produces identical labels to the
