@@ -143,6 +143,15 @@ class VisionTransformer(nn.Module):
         x = x + pos_embed[:, : x.shape[1], :].astype(x.dtype)
         x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
 
+        if self._use_fused_blocks(deterministic):
+            from bridgeqa_tpu.ops import vit_block as vb
+
+            x = vb.fused_vit_blocks(
+                self.variables["params"], x, depth=self.depth, heads=self.num_heads,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+
         # per-layer stochastic-depth rates (python-static, safe under jit)
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         # jax.checkpoint per block trades recompute for activation memory
@@ -155,6 +164,19 @@ class VisionTransformer(nn.Module):
             )(x, deterministic)
 
         return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+
+    def _use_fused_blocks(self, deterministic: bool) -> bool:
+        """Gate for the fused Pallas block path (inference only; the module
+        loop stays the training/init path)."""
+        from bridgeqa_tpu.ops import vit_block as vb
+
+        if not deterministic or self.is_initializing():
+            return False
+        if vb.FUSED_MODE == "off" or not vb.fused_vit_capable(self.embed_dim, self.num_heads):
+            return False
+        if jax.default_backend() == "tpu":
+            return True
+        return vb.FUSED_MODE == "force"
 
 
 def create_vit(vit: str, image_size: int, drop_path_rate: float = 0.0, dtype=None,

@@ -136,13 +136,17 @@ def _layer_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
     out_ref[...] = ln(y + x2, ln3s_ref, ln3b_ref)
 
 
-def _pick_group(g: int, la: int, dtype) -> int:
-    """Largest G dividing g with G*la sublane-aligned and <= 1024 rows.
+# Rows per kernel block (tunable): bounds the (R, R) per-head score matrix,
+# whose masked-GEMM waste + softmax width grow quadratically in R. Sweep on
+# v5e at the production shapes (B*k=8192, La=12, 12 layers): 1536 rows
+# 212 ms, 768 -> 177, 384 -> 150, 192 -> 141, 96 -> 143 ms/body — 192 wins.
+ROW_CAP = 192
 
-    The row cap bounds the (R, R) per-head self-attention score matrix —
-    its masked-GEMM waste grows quadratically in the block row count."""
+
+def _pick_group(g: int, la: int, dtype) -> int:
+    """Largest G dividing g with G*la sublane-aligned and <= ROW_CAP rows."""
     align = 16 if dtype == jnp.bfloat16 else 8
-    for cand in range(min(g, max(1, 1024 // la)), 0, -1):
+    for cand in range(min(g, max(1, ROW_CAP // la)), 0, -1):
         if g % cand == 0 and (cand * la) % align == 0:
             return cand
     return 0

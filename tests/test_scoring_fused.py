@@ -103,8 +103,9 @@ class TestFusedScoringLoss:
         assert not fused_scoring_capable(CFG, 16, 16, 4, 128, jnp.float32)  # g=1
         assert not fused_scoring_capable(CFG, 15, 2, 4, 128, jnp.float32)  # ragged
         assert not fused_scoring_capable(CFG, 16, 2, 4, 96, jnp.float32)  # H%128
-        # production shape: g=256, La=12, bf16 -> G=64 (768-row blocks)
-        assert _pick_group(256, 12, jnp.bfloat16) == 64
+        # production shape: g=256, La=12, bf16 -> G=16 (192-row blocks,
+        # the measured optimum — see ROW_CAP note in scoring_layer.py)
+        assert _pick_group(256, 12, jnp.bfloat16) == 16
 
 
 class TestStreamingVocabLoss:
