@@ -331,6 +331,10 @@ def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xy
         out_specs=[out_spec] * 4,
         out_shape=[jax.ShapeDtypeStruct((bp, m, nsample), jnp.int32)]
         + [jax.ShapeDtypeStruct((bp, m, nsample), jnp.float32)] * 3,
+        # ~18 MB live in some surrounding-graph contexts (buffer assignment
+        # varies under scan) — the 16 MB scoped-vmem default is compiler
+        # policy, not the hardware cap
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
     )(xyz_p[..., 0], xyz_p[..., 1], xyz_p[..., 2],
       c[:, :, 0], c[:, :, 1], c[:, :, 2])
     return idx[:b], (rx[:b], ry[:b], rz[:b])

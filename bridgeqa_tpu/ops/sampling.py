@@ -158,6 +158,9 @@ def _fps_pallas_impl(xyz: jax.Array, npoint: int):
         out_shape=[jax.ShapeDtypeStruct((bb, npoint), jnp.int32)]
         + [jax.ShapeDtypeStruct((bb, npoint), jnp.float32)] * 3,
         scratch_shapes=[pltpu.VMEM((_BB, x.shape[1]), jnp.float32)],
+        # headroom over the 16 MB scoped-vmem policy default (buffer
+        # assignment varies with the surrounding graph, e.g. under scan)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
     )(x, y, z, valid)
     return idx[:b], jnp.stack([ox[:b], oy[:b], oz[:b]], axis=-1)
 
