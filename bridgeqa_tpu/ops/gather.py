@@ -137,14 +137,25 @@ def _gather_rows_onehot(table: jax.Array, idx: jax.Array) -> jax.Array:
 def gather_rows_batched(points: jax.Array, idx: jax.Array) -> jax.Array:
     """Batched row gather: ``out[b, r, :] = points[b, idx[b, r], :]``.
 
-    points (B, N, C), idx (B, R) -> (B, R, C). On TPU, routes to the
-    VMEM-resident row kernel when the table fits, else to the one-hot
-    matmul kernel; CPU keeps XLA take_along_axis.
+    points (B, N, C), idx (B, R) -> (B, R, C).
+
+    TPU fast path for the SA-layer feature groupings: an XLA-level one-hot
+    einsum — the iota-compare one-hot fuses into the matmul, so the MXU
+    does the lookup at matmul speed. Measured at SA2 shapes
+    (B=32, R=32k, N=2048, C=131): 9.7 -> 3.0 ms vs take_along_axis (XLA's
+    batched row gather is a ~1.7 us/row dynamic-slice loop; custom Pallas
+    row/one-hot kernels above both measured slower still).
+
+    Restricted to sub-f32 dtypes: a one-hot bf16 matmul copies values
+    EXACTLY (single product x1.0, f32 accumulation of one term), while
+    an f32 matmul on the MXU goes through bf16 multi-pass splitting and
+    is not a bitwise copy — f32 gathers (e.g. the xyz groupings behind
+    the verify_parity bitwise contract) keep take_along_axis.
     """
-    # Measured on v5e: XLA's batched row gather runs ~1.7 us/row (a
-    # dynamic-slice loop); the Pallas row kernel (~0.5 us/row of dynamic
-    # vector-load latency) and the one-hot matmul kernel (grid-step overhead
-    # dominates at these chunk sizes) both measured SLOWER end-to-end, so
-    # XLA remains the default. The hot paths avoid gathers altogether:
-    # FPS and ball-query emit selected coordinates from their kernels.
+    b, n, c = points.shape
+    r = idx.shape[1]
+    if (jax.default_backend() == "tpu" and points.dtype == jnp.bfloat16
+            and r >= 4096 and n <= 4096):
+        oh = jax.nn.one_hot(idx.astype(jnp.int32), n, dtype=points.dtype)
+        return jnp.einsum("brn,bnc->brc", oh, points)
     return jnp.take_along_axis(points, idx[..., None].astype(jnp.int32), axis=1)

@@ -86,8 +86,11 @@ def lm_vocab_reductions(h, table, bias, labels, *, interpret: bool = False):
     r, hdim = h.shape
     v = table.shape[0]
 
+    # on-chip sweep at the production shapes (90k rows x 30.5k vocab):
+    # (2048,1024) 27.5 ms, (4096,1024) 27.3, (4096,512) 32.5,
+    # (2048,2048) 25.5 <- best, (1024,4096) 27.8
     r_blk = 2048
-    vb = 1024
+    vb = 2048
     r_pad = (-r) % r_blk
     v_pad = (-v) % vb
     if r_pad:
