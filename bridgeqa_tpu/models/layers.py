@@ -84,17 +84,20 @@ class SharedMLP(nn.Module):
     @nn.compact
     def __call__(self, x=None, *, planes=None, train: bool, bn_momentum=0.1):
         """x: (..., Cin) channel-last input. Alternatively ``planes``: a
-        tuple of Cin arrays shaped (...,) — the input presented one channel
-        plane at a time. TPU layout note: a grouped-xyz tensor has Cin=3 in
-        the lane dimension (42x padding waste + a relayout to build it);
-        feeding the 3 coordinate planes directly lets layer 0 compute
-        ``sum_d planes[d] * kernel[d]`` with the output (lane dim = width)
-        born in a good layout and no (..., 3) tensor ever materialized.
-        Parameters are identical either way."""
+        tuple of arrays shaped (...,) — leading input channels presented one
+        plane at a time (optionally combined with a trailing ``x`` tensor
+        holding the remaining channels). TPU layout note: a grouped-xyz
+        tensor has Cin=3 in the lane dimension (42x padding waste + a
+        relayout to build it, plus a lane-misaligned concat when grouped
+        features follow); feeding the 3 coordinate planes directly lets
+        layer 0 compute ``sum_d planes[d] * kernel[d] (+ x @ kernel[3:])``
+        with the output (lane dim = width) born in a good layout and no
+        (..., 3) tensor or channel concat ever materialized. Parameters are
+        identical either way (kernel rows = [planes..., x channels])."""
         for i, width in enumerate(self.features):
             if i == 0 and planes is not None:
                 x = PlaneDense(width, use_bias=not self.bn, dtype=self.dtype,
-                               name="layer0")(planes)
+                               name="layer0")(planes, x)
             else:
                 x = nn.Dense(
                     width,
@@ -110,20 +113,26 @@ class SharedMLP(nn.Module):
 
 
 class PlaneDense(nn.Module):
-    """Dense over an input presented as per-channel planes. Parameter tree
-    (kernel (Cin, width)[, bias]) is identical to ``nn.Dense``, so a model
-    may init through either path and apply through the other."""
+    """Dense over an input whose leading channels arrive as per-channel
+    planes and (optionally) whose remaining channels arrive as a normal
+    channel-last tensor ``x``. Parameter tree (kernel (Cin, width)[, bias],
+    Cin = len(planes) + x channels) is identical to ``nn.Dense`` over the
+    concatenated input, so a model may init through either path and apply
+    through the other."""
 
     width: int
     use_bias: bool = True
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, planes):
-        kernel = self.param("kernel", kaiming_normal, (len(planes), self.width), jnp.float32)
-        dt = self.dtype or planes[0].dtype
-        x = sum(p[..., None].astype(dt) * kernel[d].astype(dt) for d, p in enumerate(planes))
+    def __call__(self, planes, x=None):
+        cin = len(planes) + (x.shape[-1] if x is not None else 0)
+        kernel = self.param("kernel", kaiming_normal, (cin, self.width), jnp.float32)
+        dt = self.dtype or (x.dtype if x is not None else planes[0].dtype)
+        y = sum(p[..., None].astype(dt) * kernel[d].astype(dt) for d, p in enumerate(planes))
+        if x is not None:
+            y = y + x.astype(dt) @ kernel[len(planes):].astype(dt)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.width,), jnp.float32)
-            x = x + bias.astype(dt)
-        return x
+            y = y + bias.astype(dt)
+        return y

@@ -54,7 +54,12 @@ class PointnetSAModuleVotes(nn.Module):
 
         import jax
 
-        from bridgeqa_tpu.ops.grouping import _ball_query_stripes
+        from bridgeqa_tpu.ops import grouping as _grouping
+        from bridgeqa_tpu.ops.grouping import (
+            _ball_query_stripes,
+            _ball_query_stripes_xla,
+            group_points,
+        )
 
         grouped = grouped_xyz = planes = None
         if self.npoint is not None:
@@ -63,17 +68,25 @@ class PointnetSAModuleVotes(nn.Module):
                 inds, new_xyz = furthest_point_sample_with_xyz(xyz, self.npoint)
             else:
                 new_xyz = gather_points(xyz, inds)
-            # TPU fast path with no input features: the stripe kernel's
-            # rel-xyz feeds the MLP as coordinate PLANES — the (B, M, S, 3)
-            # tensor (lane dim 3: 42x pad waste + a relayout) is never
-            # materialized.
-            fast_planes = (features is None and self.use_xyz
-                           and jax.default_backend() == "tpu" and self.nsample % 2 == 0)
+            # Stripe fast path: the kernel's rel-xyz feeds the MLP as
+            # coordinate PLANES — the (B, M, S, 3) tensor (lane dim 3: 42x
+            # pad waste + a relayout) is never materialized, and with input
+            # features the 3+C channel concat (lane-misaligned) is replaced
+            # by the hybrid PlaneDense layer 0. Gate mirrors
+            # ``query_and_group``'s stripe-mode selection so the off-TPU
+            # FORCE_MODE="stripes" ablation exercises this exact path.
+            on_tpu = jax.default_backend() == "tpu"
+            mode = _grouping.FORCE_MODE
+            fast_planes = (self.use_xyz and self.nsample % 2 == 0
+                           and (mode == "stripes" or (mode is None and on_tpu)))
             if fast_planes:
-                _, rel = _ball_query_stripes(self.radius, self.nsample, xyz, new_xyz)
+                stripe_fn = _ball_query_stripes if on_tpu else _ball_query_stripes_xla
+                idx, rel = stripe_fn(self.radius, self.nsample, xyz, new_xyz)
                 if self.normalize_xyz:
                     rel = tuple(p / self.radius for p in rel)
                 planes = rel
+                if features is not None:
+                    grouped = group_points(features, idx)  # feature part only
             else:
                 grouped, grouped_xyz = query_and_group(
                     self.radius,

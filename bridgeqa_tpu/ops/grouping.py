@@ -82,15 +82,17 @@ def ball_query(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
     - ``exact=True``: the reference's "first nsample qualifying indices in
       ascending point order" (CUDA scan order), computed sort-free (see
       ``_ball_query_exact``). Default off-TPU; the parity baseline.
-    - ``exact=False`` (default on TPU): a Pallas kernel that picks the first
-      and last qualifier of each of ``nsample/2`` contiguous point stripes.
-      Because the data pipeline randomly permutes points
-      (``dataset.py:415``), the reference's "first nsample" is itself a
-      uniform random in-ball subset — the stripe rule draws from the same
-      distribution at a fraction of the cost (one fused VMEM sweep vs a
-      40k-wide sort), with the same fill semantics (replicate the first
-      qualifier; all-empty -> 0). Deterministic, but NOT bitwise-identical
-      to the CUDA scan.
+    - ``exact=False`` (default on TPU): a Pallas kernel that picks one
+      qualifier per contiguous point stripe — the *first* qualifier of each
+      of ``nsample`` stripes when that layout needs no extra padding
+      (``_stripe_plan``; the large-N SA1 case), else the first *and last*
+      of ``nsample/2`` wider stripes. Because the data pipeline randomly
+      permutes points (``dataset.py:415``), the reference's "first nsample"
+      is itself a uniform random in-ball subset — either stripe rule draws
+      from the same distribution at a fraction of the cost (one fused VMEM
+      sweep vs a 40k-wide sort), with the same fill semantics (replicate
+      the first qualifier; all-empty -> 0). Deterministic, but NOT
+      bitwise-identical to the CUDA scan.
     """
     if FORCE_MODE == "exact":
         exact = True
@@ -188,8 +190,8 @@ _BIG = 2**30
 _BQ_BATCH = 8  # batch rows per program (sublane-dim blocks must be x8)
 
 
-def _ball_query_stripe_kernel(r2: float, nsample: int, blk: int):
-    stripes = nsample // 2
+def _ball_query_stripe_kernel(r2: float, nsample: int, blk: int, picks: int):
+    stripes = nsample // picks
 
     def kernel(px_ref, py_ref, pz_ref, cx_ref, cy_ref, cz_ref,
                idx_ref, rx_ref, ry_ref, rz_ref):
@@ -211,27 +213,45 @@ def _ball_query_stripe_kernel(r2: float, nsample: int, blk: int):
                 d2 = dx * dx + dy * dy + dz * dz
                 mask = d2 < r2
                 lidx = lax.broadcasted_iota(jnp.int32, (blk, w), 1)
-                fst = -jnp.max(jnp.where(mask, -lidx, -big), axis=1, keepdims=True)
-                lst = jnp.max(jnp.where(mask, lidx, -1), axis=1, keepdims=True)
-                found = jnp.any(mask, axis=1, keepdims=True)
-
-                def sel(pos):  # rel coords of the selected lane (one per row)
-                    hit = lidx == pos
-                    return (jnp.sum(jnp.where(hit, dx, 0.0), axis=1, keepdims=True),
-                            jnp.sum(jnp.where(hit, dy, 0.0), axis=1, keepdims=True),
-                            jnp.sum(jnp.where(hit, dz, 0.0), axis=1, keepdims=True))
-
-                fx, fy, fz = sel(fst)
-                lx, ly, lz = sel(lst)
-                gfst = jnp.where(found, fst + s * w, big)
-                glst = jnp.where(found, lst + s * w, big)
-
-                at_f = col == 2 * s
-                at_l = col == 2 * s + 1
-                idxs = jnp.where(at_f, gfst, jnp.where(at_l, glst, idxs))
-                relx = jnp.where(at_f, fx, jnp.where(at_l, lx, relx))
-                rely = jnp.where(at_f, fy, jnp.where(at_l, ly, rely))
-                relz = jnp.where(at_f, fz, jnp.where(at_l, lz, relz))
+                # Cross-lane reduce OPS (not elementwise passes) dominate
+                # this kernel: stack everything to reduce along sublanes so
+                # each stripe does ONE key reduce + ONE extraction reduce.
+                # No qualifier in the stripe <=> fst == big (the -big key
+                # wins the max) — no separate `any` sweep needed.
+                if picks == 2:
+                    keys = jnp.concatenate(
+                        [jnp.where(mask, -lidx, -big), jnp.where(mask, lidx, -1)], axis=0)
+                    r = jnp.max(keys, axis=1, keepdims=True)  # (2*blk, 1)
+                    fst = -r[0:blk]
+                    lst = r[blk:2 * blk]
+                    hitf = lidx == fst
+                    hitl = lidx == lst
+                    hit6 = jnp.concatenate([hitf, hitf, hitf, hitl, hitl, hitl], axis=0)
+                    d6 = jnp.concatenate([dx, dy, dz, dx, dy, dz], axis=0)
+                    sel = jnp.sum(jnp.where(hit6, d6, 0.0), axis=1, keepdims=True)
+                    fx, fy, fz = sel[0:blk], sel[blk:2 * blk], sel[2 * blk:3 * blk]
+                    lx, ly, lz = sel[3 * blk:4 * blk], sel[4 * blk:5 * blk], sel[5 * blk:6 * blk]
+                    gfst = jnp.where(fst < big, fst + s * w, big)
+                    glst = jnp.where(lst >= 0, lst + s * w, big)
+                    at_f = col == 2 * s
+                    at_l = col == 2 * s + 1
+                    idxs = jnp.where(at_f, gfst, jnp.where(at_l, glst, idxs))
+                    relx = jnp.where(at_f, fx, jnp.where(at_l, lx, relx))
+                    rely = jnp.where(at_f, fy, jnp.where(at_l, ly, rely))
+                    relz = jnp.where(at_f, fz, jnp.where(at_l, lz, relz))
+                else:
+                    fst = -jnp.max(jnp.where(mask, -lidx, -big), axis=1, keepdims=True)
+                    hit = lidx == fst
+                    hit3 = jnp.concatenate([hit, hit, hit], axis=0)
+                    d3 = jnp.concatenate([dx, dy, dz], axis=0)
+                    sel = jnp.sum(jnp.where(hit3, d3, 0.0), axis=1, keepdims=True)
+                    fx, fy, fz = sel[0:blk], sel[blk:2 * blk], sel[2 * blk:3 * blk]
+                    gfst = jnp.where(fst < big, fst + s * w, big)
+                    at_f = col == s
+                    idxs = jnp.where(at_f, gfst, idxs)
+                    relx = jnp.where(at_f, fx, relx)
+                    rely = jnp.where(at_f, fy, rely)
+                    relz = jnp.where(at_f, fz, relz)
 
                 better = gfst < first_all
                 first_all = jnp.minimum(first_all, gfst)
@@ -291,8 +311,25 @@ def _ball_query_stripes_bwd(radius, nsample, res, g):
 _ball_query_stripes.defvjp(_ball_query_stripes_fwd, _ball_query_stripes_bwd)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array):
+def _stripe_plan(n: int, nsample: int) -> tuple[int, int]:
+    """Choose the stripe layout: (picks per stripe, padded point count).
+
+    1 pick (the first qualifier) from each of ``nsample`` narrow stripes
+    costs ~25% fewer VPU passes than 2 picks (first+last) from ``nsample/2``
+    wide stripes — use it whenever the narrower 128-lane quantum needs no
+    extra padding (the large-N SA1 case); otherwise keep 2 picks so small
+    clouds (SA2-4, vote aggregation) don't pay doubled padding sweeps.
+    """
+    q2 = (nsample // 2) * 128
+    np2 = -(-n // q2) * q2
+    q1 = nsample * 128
+    np1 = -(-n // q1) * q1
+    return (1, np1) if np1 == np2 else (2, np2)
+
+
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("interpret",))
+def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
+                             *, interpret: bool = False):
     """Pallas stripe-sampled ball query (see ``ball_query`` docstring).
 
     Returns (idx (B, M, nsample) int32, rel planes ((B, M, nsample) f32 x3))
@@ -303,9 +340,8 @@ def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xy
     """
     b, m = new_xyz.shape[:2]
     n = xyz.shape[1]
-    stripes = nsample // 2
-    quantum = stripes * 128
-    n_pad = (-n) % quantum
+    picks, np_padded = _stripe_plan(n, nsample)
+    n_pad = np_padded - n
     xyz_p = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, n_pad), (0, 0)),
                     constant_values=1e9) if n_pad else xyz.astype(jnp.float32)
     np_ = xyz_p.shape[1]
@@ -325,7 +361,7 @@ def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xy
     ctr_spec = pl.BlockSpec((bq, blk, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bq, blk, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     idx, rx, ry, rz = pl.pallas_call(
-        _ball_query_stripe_kernel(float(radius * radius), nsample, blk),
+        _ball_query_stripe_kernel(float(radius * radius), nsample, blk, picks),
         grid=(bp // bq, m // blk),
         in_specs=[pts_spec, pts_spec, pts_spec, ctr_spec, ctr_spec, ctr_spec],
         out_specs=[out_spec] * 4,
@@ -335,6 +371,7 @@ def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xy
         # varies under scan) — the 16 MB scoped-vmem default is compiler
         # policy, not the hardware cap
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
     )(xyz_p[..., 0], xyz_p[..., 1], xyz_p[..., 2],
       c[:, :, 0], c[:, :, 1], c[:, :, 2])
     return idx[:b], (rx[:b], ry[:b], rz[:b])
@@ -351,9 +388,9 @@ def _ball_query_stripes_xla(radius: float, nsample: int, xyz: jax.Array, new_xyz
     """
     b, m = new_xyz.shape[:2]
     n = xyz.shape[1]
-    stripes = nsample // 2
-    quantum = stripes * 128
-    n_pad = (-n) % quantum
+    picks, np_padded = _stripe_plan(n, nsample)
+    stripes = nsample // picks
+    n_pad = np_padded - n
     xyz_p = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, n_pad), (0, 0)),
                     constant_values=1e9) if n_pad else xyz.astype(jnp.float32)
     np_ = xyz_p.shape[1]
@@ -369,14 +406,17 @@ def _ball_query_stripes_xla(radius: float, nsample: int, xyz: jax.Array, new_xyz
         mask = d2 < r2
         lidx = jnp.arange(w, dtype=jnp.int32)
         fst = jnp.min(jnp.where(mask, lidx, big), axis=-1)  # (B, blk, stripes)
-        lst = jnp.max(jnp.where(mask, lidx, -1), axis=-1)
         found = jnp.any(mask, axis=-1)
         base = (jnp.arange(stripes, dtype=jnp.int32) * w)[None, None, :]
         gfst = jnp.where(found, fst + base, big)
-        glst = jnp.where(found, lst + base, big)
 
-        # interleave (fst_0, lst_0, fst_1, lst_1, ...) into the slot axis
-        idxs = jnp.stack([gfst, glst], axis=-1).reshape(b, blk, nsample)
+        if picks == 2:
+            lst = jnp.max(jnp.where(mask, lidx, -1), axis=-1)
+            glst = jnp.where(found, lst + base, big)
+            # interleave (fst_0, lst_0, fst_1, lst_1, ...) into the slot axis
+            idxs = jnp.stack([gfst, glst], axis=-1).reshape(b, blk, nsample)
+        else:
+            idxs = gfst  # one pick per stripe: slot s = stripe s
         first_all = jnp.min(gfst, axis=-1, keepdims=True)  # (B, blk, 1)
         found_any = first_all < big
         fill_idx = jnp.where(found_any, first_all, 0)

@@ -76,7 +76,11 @@ def _fps_kernel(x_ref, y_ref, z_ref, valid_ref, out_ref, ox_ref, oy_ref, oz_ref,
     npoint = out_ref.shape[1]
     x, y, z = x_ref[:, :], y_ref[:, :], z_ref[:, :]
     valid = valid_ref[:, :] > 0.0
-    temp_ref[:, :] = jnp.full_like(x, INIT_DIST)
+    # Padding points carry temp = -1 forever: min(-1, d) = -1 (d >= 0), so
+    # they never win the argmax and need no per-iteration `valid` masking —
+    # saves two full-width VPU passes per selection, bitwise-identical
+    # (valid points see the exact same min recurrence; cand == new_temp).
+    temp_ref[:, :] = jnp.where(valid, INIT_DIST, -1.0)
     out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.int32)
     ox_ref[:, :] = jnp.where(
         lax.broadcasted_iota(jnp.int32, ox_ref.shape, 1) == 0, x[:, 0:1], 0.0)
@@ -86,18 +90,23 @@ def _fps_kernel(x_ref, y_ref, z_ref, valid_ref, out_ref, ox_ref, oy_ref, oz_ref,
         lax.broadcasted_iota(jnp.int32, oz_ref.shape, 1) == 0, z[:, 0:1], 0.0)
     lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
     out_lane = lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    bb = x.shape[0]
+    # coordinate planes stacked along sublanes: the per-selection coordinate
+    # extraction then needs ONE cross-lane reduce over (3*BB, N) instead of
+    # three over (BB, N) — cross-lane reduce ops (not elementwise passes)
+    # dominate this kernel's cost
+    xyz3 = jnp.concatenate([x, y, z], axis=0)  # (3*BB, N)
 
     def one(j, ref):
         lx, ly, lz = ref
         d = (x - lx) ** 2 + (y - ly) ** 2 + (z - lz) ** 2
-        new_temp = jnp.where(valid, jnp.minimum(temp_ref[:, :], d), temp_ref[:, :])
-        temp_ref[:, :] = new_temp
-        cand = jnp.where(valid, new_temp, -1.0)
+        cand = jnp.minimum(temp_ref[:, :], d)  # padding rows pinned at -1
+        temp_ref[:, :] = cand
         best = jnp.argmax(cand, axis=1).astype(jnp.int32)  # (BB,)
         hit = lane == best[:, None]
-        nlx = jnp.sum(jnp.where(hit, x, 0.0), axis=1, keepdims=True)
-        nly = jnp.sum(jnp.where(hit, y, 0.0), axis=1, keepdims=True)
-        nlz = jnp.sum(jnp.where(hit, z, 0.0), axis=1, keepdims=True)
+        hit3 = jnp.concatenate([hit, hit, hit], axis=0)
+        sel3 = jnp.sum(jnp.where(hit3, xyz3, 0.0), axis=1, keepdims=True)
+        nlx, nly, nlz = sel3[0:bb], sel3[bb:2 * bb], sel3[2 * bb:3 * bb]
         # dynamic-lane stores aren't supported by Mosaic; accumulate one-hot
         at_j = out_lane == j
         out_ref[:, :] = out_ref[:, :] + jnp.where(at_j, best[:, None], 0)

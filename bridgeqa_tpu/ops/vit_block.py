@@ -67,6 +67,11 @@ def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln1s_ref, ln1b_ref,
                             preferred_element_type=jnp.float32) * scale + key_mask
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
+        # NOTE: deferring the normalization past the context matmul (the
+        # scoring_layer.attend trick) was tried here and REVERTED: the extra
+        # per-head live buffers push Mosaic's scoped-vmem request past every
+        # limit tried (48.8M @ 48M cap, 59M @ 56M — the scheduler expands to
+        # fill whatever it is given) and the kernel no longer compiles.
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
         ctx.append(jnp.dot(p, vh, preferred_element_type=jnp.float32).astype(dt))
     ctx = jnp.concatenate(ctx, axis=-1)

@@ -180,6 +180,21 @@ class TestDetectorTrains:
         assert obj_tail < obj_head, f"objectness loss did not decrease: {obj_head:.4f} -> {obj_tail:.4f}"
 
 
+@pytest.fixture(scope="module")
+def batch_ablation():
+    """4096-point scenes so the scaled detector's SA1 (nsample=32) takes the
+    first-only stripe plan (``_stripe_plan(4096, 32) -> picks=1``) while
+    SA2-4/vote-aggregation stay on the first+last plan — the same plan
+    composition the full-size model runs on TPU."""
+    from bridgeqa_tpu.ops.grouping import _stripe_plan
+
+    assert _stripe_plan(4096, 32)[0] == 1
+    assert _stripe_plan(512, 16)[0] == 2
+    rng = np.random.RandomState(42)
+    b = make_batch(rng, batch_size=2, num_points=4096)
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
 @pytest.mark.slow
 class TestBallQueryModeAblation:
     """Round-1 verdict item 4: the stripe fast mode's statistical argument
@@ -187,7 +202,8 @@ class TestBallQueryModeAblation:
     consume FPS/vote output. Train the detector end-to-end under both
     selection rules and require equivalent learning + detection quality."""
 
-    def test_exact_vs_stripes_training_equivalent(self, batch):
+    def test_exact_vs_stripes_training_equivalent(self, batch_ablation):
+        batch = batch_ablation
         hist_e, params_e, stats_e = _train_detector(batch, force_mode="exact",
                                                     builder=build_detector_scaled)
         hist_s, params_s, stats_s = _train_detector(batch, force_mode="stripes",

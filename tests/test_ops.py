@@ -159,3 +159,52 @@ class TestThreeInterpolate:
             pm[probe] -= eps
             num = (f(jnp.asarray(pp)) - f(jnp.asarray(pm))) / (2 * eps)
             np.testing.assert_allclose(g[probe], num, rtol=1e-2)
+
+
+class TestStripeKernelOracle:
+    """The Pallas stripe kernel (interpret mode here; driven on the real chip
+    per .claude/skills/verify/SKILL.md) must be BITWISE equal to its XLA
+    emulation for both stripe plans (first-only narrow stripes / first+last
+    wide stripes, ``_stripe_plan``)."""
+
+    @pytest.mark.parametrize("n,nsample,expect_picks", [
+        (1024, 8, 1),  # narrow quantum needs no extra padding -> first-only
+        (512, 8, 2),   # padded lengths differ -> first+last wide stripes
+    ])
+    def test_kernel_matches_emulation(self, rng, n, nsample, expect_picks):
+        from bridgeqa_tpu.ops.grouping import (
+            _ball_query_stripes_impl,
+            _ball_query_stripes_xla,
+            _stripe_plan,
+        )
+
+        picks, _ = _stripe_plan(n, nsample)
+        assert picks == expect_picks
+        xyz = jnp.asarray(_cloud(rng, b=3, n=n, scale=2.0))
+        ctr = jnp.asarray(_cloud(rng, b=3, n=64, scale=2.0))
+        ki, kr = _ball_query_stripes_impl(0.5, nsample, xyz, ctr, interpret=True)
+        ei, er = _ball_query_stripes_xla(0.5, nsample, xyz, ctr)
+        np.testing.assert_array_equal(np.asarray(ki), np.asarray(ei))
+        for got, want in zip(kr, er):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # sanity: both empty-ball (0) and filled slots occur in the fixture
+        assert (np.asarray(ki) == 0).any()
+        assert (np.asarray(ki) > 0).any()
+
+
+class TestPlaneDense:
+    def test_hybrid_matches_dense_concat(self, rng):
+        """SharedMLP fed (planes, features) must match the same params
+        applied to the concatenated channel-last tensor (the layout the
+        reference's SharedMLP consumes)."""
+        from bridgeqa_tpu.models.layers import SharedMLP
+
+        b, m, s, c = 2, 8, 4, 6
+        planes = tuple(jnp.asarray(rng.randn(b, m, s).astype(np.float32)) for _ in range(3))
+        feats = jnp.asarray(rng.randn(b, m, s, c).astype(np.float32))
+        mlp = SharedMLP([16, 8], bn=True)
+        concat = jnp.concatenate([jnp.stack(planes, -1), feats], axis=-1)
+        v = mlp.init({"params": jax.random.PRNGKey(0)}, concat, train=False)
+        out_t = mlp.apply(v, concat, train=False)
+        out_h = mlp.apply(v, feats, planes=planes, train=False)
+        np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_h), rtol=1e-5, atol=1e-5)
