@@ -49,6 +49,11 @@ class BlipVQA3DConfig:
     use_scene_classifier: bool = False
     use_scene_classifier_2d3d: bool = False
     share_decoder: bool = False
+    # "paralleltwin" (paper main path): separate 3D decoder (unless
+    # share_decoder). "parallelshare" (blip_vqa_3d.py:331-341): ONE decoder
+    # for both streams, the 3D calls selecting the per-layer alternate
+    # FFN-output LayerNorm (BertOutputParallel, med.py:320-330).
+    scene_feature_position: str = "paralleltwin"
     decoder_layers: int | None = None
     encoder_layers: int | None = None
     pad_token_id: int = 0
@@ -123,10 +128,15 @@ class BLIPVQA3D(nn.Module):
         enc_cfg = dataclasses.replace(med, encoder_width=vision_width)
         self.text_encoder = BertModelTwin(enc_cfg, dtype=self.dtype, name="text_encoder")
 
+        if c.scene_feature_position not in ("paralleltwin", "parallelshare"):
+            raise ValueError(f"unsupported scene_feature_position: {c.scene_feature_position!r}")
         dec_med = med if c.decoder_layers is None else dataclasses.replace(med, num_hidden_layers=c.decoder_layers)
         dec_cfg = dataclasses.replace(dec_med, encoder_width=med.hidden_size)
+        if c.scene_feature_position == "parallelshare":
+            # one decoder, two FFN-output LayerNorm banks (idx 0 = 2D, 1 = 3D)
+            dec_cfg = dataclasses.replace(dec_cfg, parallel_layernorms=1)
         self.text_decoder = BertLMHeadModel(dec_cfg, dtype=self.dtype, name="text_decoder")
-        if not c.share_decoder:
+        if not c.share_decoder and c.scene_feature_position != "parallelshare":
             self.text_decoder_scene = BertLMHeadModel(dec_cfg, dtype=self.dtype, name="text_decoder_scene")
 
         h = med.hidden_size
@@ -155,7 +165,15 @@ class BLIPVQA3D(nn.Module):
                                                       dtype=self.dtype, name="answer_cls_2d3d")
 
     def _decoder_scene(self):
-        return self.text_decoder if self.cfg.share_decoder else self.text_decoder_scene
+        c = self.cfg
+        if c.share_decoder or c.scene_feature_position == "parallelshare":
+            return self.text_decoder
+        return self.text_decoder_scene
+
+    def _scene_layernorm_idx(self) -> int:
+        """layernorm_idx for 3D-stream decoder calls (blip_vqa_3d.py:331,
+        523-524): parallelshare selects the alternate LayerNorm bank."""
+        return 1 if self.cfg.scene_feature_position == "parallelshare" else 0
 
     def encode_image(self, image, *, train: bool = False):
         """image (B, H, W, 3) -> (B, 1+N, width)."""
@@ -203,7 +221,8 @@ class BLIPVQA3D(nn.Module):
             answer_ids, answer_mask, h2d, question_mask, labels=answer_targets, deterministic=not train
         )
         _, loss_3d = self._decoder_scene()(
-            answer_ids, answer_mask, h3d, question_mask, labels=answer_targets, deterministic=not train
+            answer_ids, answer_mask, h3d, question_mask, labels=answer_targets,
+            deterministic=not train, layernorm_idx=self._scene_layernorm_idx()
         )
         loss = (jnp.sum(loss_2d) + jnp.sum(loss_3d)) / batch
 
@@ -239,7 +258,7 @@ class BLIPVQA3D(nn.Module):
     # ---- inference ----
 
     def _rank_with_decoder(self, decoder, question_states, question_mask,
-                           answer_ids, answer_mask, k: int):
+                           answer_ids, answer_mask, k: int, layernorm_idx: int = 0):
         """Vectorized ``rank_answer`` (``blip_vqa_3d.py:509-566``): one-step
         first-token beam then full scoring of the top-k answers.
 
@@ -251,7 +270,8 @@ class BLIPVQA3D(nn.Module):
         num_ques = question_states.shape[0]
         bos = jnp.full((num_ques, 1), self.cfg.bos_token_id, dtype=answer_ids.dtype)
 
-        start_logits, _ = decoder(bos, None, question_states, question_mask, deterministic=True)
+        start_logits, _ = decoder(bos, None, question_states, question_mask, deterministic=True,
+                                  layernorm_idx=layernorm_idx)
         logits = start_logits[:, 0, :]
 
         answer_first_token = answer_ids[:, 1]
@@ -272,7 +292,8 @@ class BLIPVQA3D(nn.Module):
         # at k_test=256/batch 32 the full tensor would need >15 GB.
         _, loss = decoder(input_ids, input_atts, question_states, question_mask,
                           labels=targets, deterministic=True,
-                          loss_chunk_size=self.cfg.rank_loss_chunk_size)
+                          loss_chunk_size=self.cfg.rank_loss_chunk_size,
+                          layernorm_idx=layernorm_idx)
         log_probs_sum = (-loss).reshape(num_ques, k)
         return topk_ids, log_probs_sum
 
@@ -310,7 +331,8 @@ class BLIPVQA3D(nn.Module):
         all_2d = scatter_scores(ids_2d, scores_2d)
 
         ids_3d, scores_3d = self._rank_with_decoder(
-            self._decoder_scene(), h3d, question_mask, answer_ids, answer_mask, k
+            self._decoder_scene(), h3d, question_mask, answer_ids, answer_mask, k,
+            layernorm_idx=self._scene_layernorm_idx()
         )
         all_3d = scatter_scores(ids_3d, scores_3d)
 

@@ -50,6 +50,11 @@ class MedConfig:
     encoder_width: int = 768
     pad_token_id: int = 0
     add_cross_attention: bool = True
+    # Extra per-layer FFN-output LayerNorms (``BertOutputParallel``,
+    # med.py:320-330): the "parallelshare" decoder runs the SAME weights for
+    # the 2D and 3D streams but selects LayerNorm ``layernorm_idx`` per call
+    # (0 = the stock one, 1.. = the extras). The reference hardcodes one.
+    parallel_layernorms: int = 0
     remat: bool = False  # rematerialize each layer (training memory)
     # Fused Pallas answer-scoring path (whole-layer megakernel + streaming
     # vocab loss): "auto" = on TPU only, "force" = also off-TPU via the
@@ -241,10 +246,31 @@ class BertLayer(nn.Module):
                                            name="intermediate_dense")
         self.output_dense = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="output_dense")
         self.output_LayerNorm = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="output_LayerNorm")
+        # BertOutputParallel's extra LayerNorms (med.py:320-330); selected
+        # statically per call via ``layernorm_idx`` (the parallelshare mode
+        # makes exactly two calls per step, one per stream)
+        self.output_LayerNorms = [
+            nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name=f"output_LayerNorms_{i}")
+            for i in range(c.parallel_layernorms)
+        ]
         self.output_dropout = nn.Dropout(c.hidden_dropout_prob)
 
+    def _ffn_layernorm(self, layernorm_idx: int):
+        return self.output_LayerNorm if layernorm_idx == 0 else self.output_LayerNorms[layernorm_idx - 1]
+
+    def _apply_ffn_layernorm(self, x, layernorm_idx: int):
+        if self.is_initializing():
+            # materialize EVERY bank regardless of which idx this init trace
+            # uses — otherwise a model initialized through an idx-0-only
+            # method (e.g. generate) would be missing the alternate params
+            self.output_LayerNorm(x)
+            for ln in self.output_LayerNorms:
+                ln(x)
+        return self._ffn_layernorm(layernorm_idx)(x)
+
     def __call__(self, hidden_states, attention_bias=None, encoder_hidden_states=None,
-                 encoder_attention_bias=None, deterministic: bool = True, multimodal: bool = True):
+                 encoder_attention_bias=None, deterministic: bool = True, multimodal: bool = True,
+                 layernorm_idx: int = 0):
         attention_output, self_probs = self.attention(hidden_states, attention_bias, deterministic=deterministic)
         cross_probs = None
         if multimodal and encoder_hidden_states is not None:
@@ -253,7 +279,7 @@ class BertLayer(nn.Module):
             )
         intermediate = nn.gelu(self.intermediate_dense(attention_output), approximate=False)
         layer_output = self.output_dropout(self.output_dense(intermediate), deterministic=deterministic)
-        layer_output = self.output_LayerNorm(layer_output + attention_output)
+        layer_output = self._apply_ffn_layernorm(layer_output + attention_output, layernorm_idx)
         return layer_output, self_probs, cross_probs
 
     # ---- KV-cache decode (inference only; reference med.py:1447-1470
@@ -264,7 +290,7 @@ class BertLayer(nn.Module):
         generation instead of per decode step."""
         return self.crossattention.self.project_kv(encoder_hidden_states)
 
-    def decode_step(self, hidden, layer_cache, pos, self_bias, cross_bias):
+    def decode_step(self, hidden, layer_cache, pos, self_bias, cross_bias, layernorm_idx: int = 0):
         """One-token layer step: write this position's self K/V into the
         cache, attend over the cached prefix + the fixed cross K/V."""
         from jax import lax
@@ -280,15 +306,17 @@ class BertLayer(nn.Module):
             deterministic=True)
         attention_output = self.crossattention.output(cctx, attention_output, deterministic=True)
         intermediate = nn.gelu(self.intermediate_dense(attention_output), approximate=False)
-        layer_output = self.output_LayerNorm(self.output_dense(intermediate) + attention_output)
+        layer_output = self._apply_ffn_layernorm(
+            self.output_dense(intermediate) + attention_output, layernorm_idx)
         new_cache = dict(layer_cache, self_k=self_k, self_v=self_v)
         return layer_output, new_cache
 
 
 def _layer_cls(config: MedConfig):
-    """BertLayer, optionally remat-wrapped (deterministic/multimodal static)."""
+    """BertLayer, optionally remat-wrapped (deterministic/multimodal/
+    layernorm_idx static)."""
     if config.remat:
-        return nn.remat(BertLayer, static_argnums=(5, 6))
+        return nn.remat(BertLayer, static_argnums=(5, 6, 7))
     return BertLayer
 
 
@@ -302,11 +330,12 @@ class BertEncoder(nn.Module):
                       for i in range(self.config.num_hidden_layers)]
 
     def __call__(self, hidden_states, attention_bias=None, encoder_hidden_states=None,
-                 encoder_attention_bias=None, *, deterministic: bool, multimodal: bool = True):
+                 encoder_attention_bias=None, *, deterministic: bool, multimodal: bool = True,
+                 layernorm_idx: int = 0):
         for layer in self.layer:
             hidden_states, _, _ = layer(
                 hidden_states, attention_bias, encoder_hidden_states, encoder_attention_bias,
-                deterministic, multimodal,
+                deterministic, multimodal, layernorm_idx,
             )
         return hidden_states
 
@@ -402,7 +431,7 @@ class BertModel(nn.Module):
 
     def __call__(self, input_ids=None, attention_mask=None, encoder_hidden_states=None,
                  encoder_attention_mask=None, inputs_embeds=None, *, deterministic: bool,
-                 is_decoder: bool = False, multimodal: bool = True):
+                 is_decoder: bool = False, multimodal: bool = True, layernorm_idx: int = 0):
         if attention_mask is None:
             ref = input_ids if input_ids is not None else inputs_embeds[..., 0]
             attention_mask = jnp.ones(ref.shape[:2], dtype=jnp.int32)
@@ -416,7 +445,7 @@ class BertModel(nn.Module):
         embedding_output = self.embeddings(input_ids, inputs_embeds, deterministic=deterministic)
         return self.encoder(
             embedding_output, attention_bias, encoder_hidden_states, cross_bias,
-            deterministic=deterministic, multimodal=multimodal,
+            deterministic=deterministic, multimodal=multimodal, layernorm_idx=layernorm_idx,
         )
 
 
@@ -483,7 +512,7 @@ class BertLMHeadModel(nn.Module):
 
     def __call__(self, input_ids, attention_mask=None, encoder_hidden_states=None,
                  encoder_attention_mask=None, labels=None, *, deterministic: bool,
-                 loss_chunk_size: int | None = None):
+                 loss_chunk_size: int | None = None, layernorm_idx: int = 0):
         """Returns (logits, per_sequence_loss | None).
 
         ``loss_chunk_size``: when scoring a large batch (answer ranking runs
@@ -495,7 +524,7 @@ class BertLMHeadModel(nn.Module):
         """
         fused = self._fused_scoring_loss(
             input_ids, encoder_hidden_states, encoder_attention_mask, labels,
-            deterministic=deterministic)
+            deterministic=deterministic, layernorm_idx=layernorm_idx)
         if fused is not None:
             return None, fused
         sequence_output = self.bert(
@@ -505,6 +534,7 @@ class BertLMHeadModel(nn.Module):
             encoder_attention_mask=encoder_attention_mask,
             deterministic=deterministic,
             is_decoder=True,
+            layernorm_idx=layernorm_idx,
         )
         word_embed = self.bert.embeddings.word_embeddings
         if labels is not None and loss_chunk_size is not None and sequence_output.shape[0] > loss_chunk_size:
@@ -539,7 +569,8 @@ class BertLMHeadModel(nn.Module):
         return logits, loss
 
     def _fused_scoring_loss(self, input_ids, encoder_hidden_states,
-                            encoder_attention_mask, labels, *, deterministic):
+                            encoder_attention_mask, labels, *, deterministic,
+                            layernorm_idx: int = 0):
         """Answer-scoring fast path: whole-layer Pallas megakernel decoder
         body + streaming vocab loss. Returns the per-sequence loss, or None
         when the regular module path should run instead.
@@ -581,7 +612,7 @@ class BertLMHeadModel(nn.Module):
         enc_params = self.variables["params"]["bert"]["encoder"]
         x = scoring_decoder_body(
             enc_params, emb, encoder_hidden_states, encoder_attention_mask,
-            config=c, dtype=dt, interpret=not on_tpu,
+            config=c, dtype=dt, interpret=not on_tpu, layernorm_idx=layernorm_idx,
         )
         h_t = self.cls.transform(x)[:, :-1, :]
         table = jnp.asarray(self.bert.embeddings.word_embeddings.embedding, dt)
@@ -617,7 +648,7 @@ class BertLMHeadModel(nn.Module):
             "cross_bias": extend_attention_mask(question_mask),
         }
 
-    def decode_step(self, token_ids, cache):
+    def decode_step(self, token_ids, cache, layernorm_idx: int = 0):
         """token_ids (B, 1) at position ``cache['pos']`` -> (next-token
         logits (B, V), updated cache)."""
         pos = cache["pos"]
@@ -626,7 +657,8 @@ class BertLMHeadModel(nn.Module):
         self_bias = jnp.where(jnp.arange(max_len)[None, None, None, :] <= pos, 0.0, NEG_INF)
         new_layers = []
         for layer, lc in zip(self.bert.encoder.layer, cache["layers"]):
-            hidden, new_lc = layer.decode_step(hidden, lc, pos, self_bias, cache["cross_bias"])
+            hidden, new_lc = layer.decode_step(hidden, lc, pos, self_bias, cache["cross_bias"],
+                                               layernorm_idx)
             new_layers.append(new_lc)
         logits = self.cls(hidden, self.bert.embeddings.word_embeddings)  # (B, 1, V)
         new_cache = {"pos": pos + 1, "layers": new_layers, "cross_bias": cache["cross_bias"]}

@@ -56,12 +56,15 @@ class PointnetSAModuleVotes(nn.Module):
 
         from bridgeqa_tpu.ops import grouping as _grouping
         from bridgeqa_tpu.ops.grouping import (
+            MAX_KERNEL_FEATS,
             _ball_query_stripes,
+            _ball_query_stripes_feats,
             _ball_query_stripes_xla,
             group_points,
         )
 
         grouped = grouped_xyz = planes = None
+        fplanes = ()
         if self.npoint is not None:
             if inds is None:
                 # fused kernel: indices + sampled coords in one pass
@@ -80,13 +83,25 @@ class PointnetSAModuleVotes(nn.Module):
             fast_planes = (self.use_xyz and self.nsample % 2 == 0
                            and (mode == "stripes" or (mode is None and on_tpu)))
             if fast_planes:
-                stripe_fn = _ball_query_stripes if on_tpu else _ball_query_stripes_xla
-                idx, rel = stripe_fn(self.radius, self.nsample, xyz, new_xyz)
+                nf = 0 if features is None else features.shape[-1]
+                if 0 < nf <= MAX_KERNEL_FEATS:
+                    # features extracted inside the ball-query sweep: the
+                    # group_points gather (53 ms at SA1 shapes, XLA's
+                    # take_along_axis row loop) never runs
+                    if on_tpu:
+                        idx, rel, fplanes = _ball_query_stripes_feats(
+                            self.radius, self.nsample, xyz, new_xyz, features)
+                    else:
+                        idx, rel, fplanes = _ball_query_stripes_xla(
+                            self.radius, self.nsample, xyz, new_xyz, features)
+                else:
+                    stripe_fn = _ball_query_stripes if on_tpu else _ball_query_stripes_xla
+                    idx, rel = stripe_fn(self.radius, self.nsample, xyz, new_xyz)
+                    if nf:
+                        grouped = group_points(features, idx)  # feature part only
                 if self.normalize_xyz:
                     rel = tuple(p / self.radius for p in rel)
                 planes = rel
-                if features is not None:
-                    grouped = group_points(features, idx)  # feature part only
             else:
                 grouped, grouped_xyz = query_and_group(
                     self.radius,
@@ -102,8 +117,9 @@ class PointnetSAModuleVotes(nn.Module):
             new_xyz = None
             grouped, grouped_xyz = group_all(xyz, features, use_xyz=self.use_xyz, ret_grouped_xyz=True)
 
+        mlp_planes = planes + fplanes if planes is not None else None
         new_features = SharedMLP(self.mlp, bn=self.bn, dtype=self.dtype, name="mlp_module")(
-            grouped, planes=planes, train=train, bn_momentum=bn_momentum
+            grouped, planes=mlp_planes, train=train, bn_momentum=bn_momentum
         )  # (B, npoint, nsample, mlp[-1])
 
         if self.pooling == "max":

@@ -190,11 +190,24 @@ _BIG = 2**30
 _BQ_BATCH = 8  # batch rows per program (sublane-dim blocks must be x8)
 
 
-def _ball_query_stripe_kernel(r2: float, nsample: int, blk: int, picks: int):
+def _ball_query_stripe_kernel(r2: float, nsample: int, blk: int, picks: int, nf: int = 0):
+    """Stripe ball query; with ``nf`` > 0 the kernel ALSO extracts that many
+    per-point feature channels at the selected lanes — the grouped features
+    come out of the same VMEM sweep and the (53 ms at SA1 shapes)
+    ``group_points`` gather disappears entirely. Feature planes follow
+    group_points semantics exactly: slot -> features[idx[slot]], including
+    the fill index (all-empty balls carry point 0's features, NOT zeros —
+    unlike rel-xyz, which zeroes those slots)."""
     stripes = nsample // picks
+    nch = 3 + nf  # extraction channels per pick: dx, dy, dz, features...
 
-    def kernel(px_ref, py_ref, pz_ref, cx_ref, cy_ref, cz_ref,
-               idx_ref, rx_ref, ry_ref, rz_ref):
+    def kernel(*refs):
+        px_ref, py_ref, pz_ref = refs[0:3]
+        f_refs = refs[3:3 + nf]
+        cx_ref, cy_ref, cz_ref = refs[3 + nf:6 + nf]
+        idx_ref, rx_ref, ry_ref, rz_ref = refs[6 + nf:10 + nf]
+        fo_refs = refs[10 + nf:10 + 2 * nf]
+
         w = px_ref.shape[1] // stripes
         big = jnp.int32(_BIG)
         col = lax.broadcasted_iota(jnp.int32, (blk, nsample), 1)
@@ -203,16 +216,23 @@ def _ball_query_stripe_kernel(r2: float, nsample: int, blk: int, picks: int):
             cx = cx_ref[bi, :, :]  # (blk, 1)
             cy = cy_ref[bi, :, :]
             cz = cz_ref[bi, :, :]
+            # point 0's feature values (the all-empty fill target: idx 0)
+            lane128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            f_zero = [jnp.sum(jnp.where(lane128 == 0, fr[bi:bi + 1, pl.ds(0, 128)], 0.0),
+                              axis=1, keepdims=True) for fr in f_refs]  # (1, 1) each
 
             def stripe_body(s, state):
-                idxs, relx, rely, relz, first_all, fillx, filly, fillz = state
+                idxs, sel_planes, first_all, fills = state
                 base = pl.multiple_of(s * w, 128)
                 dx = px_ref[bi:bi + 1, pl.ds(base, w)] - cx  # (blk, w)
                 dy = py_ref[bi:bi + 1, pl.ds(base, w)] - cy
                 dz = pz_ref[bi:bi + 1, pl.ds(base, w)] - cz
+                fvs = [jnp.broadcast_to(fr[bi:bi + 1, pl.ds(base, w)], (blk, w))
+                       for fr in f_refs]
                 d2 = dx * dx + dy * dy + dz * dz
                 mask = d2 < r2
                 lidx = lax.broadcasted_iota(jnp.int32, (blk, w), 1)
+                vals = [dx, dy, dz] + fvs
                 # Cross-lane reduce OPS (not elementwise passes) dominate
                 # this kernel: stack everything to reduce along sublanes so
                 # each stripe does ONE key reduce + ONE extraction reduce.
@@ -226,49 +246,41 @@ def _ball_query_stripe_kernel(r2: float, nsample: int, blk: int, picks: int):
                     lst = r[blk:2 * blk]
                     hitf = lidx == fst
                     hitl = lidx == lst
-                    hit6 = jnp.concatenate([hitf, hitf, hitf, hitl, hitl, hitl], axis=0)
-                    d6 = jnp.concatenate([dx, dy, dz, dx, dy, dz], axis=0)
-                    sel = jnp.sum(jnp.where(hit6, d6, 0.0), axis=1, keepdims=True)
-                    fx, fy, fz = sel[0:blk], sel[blk:2 * blk], sel[2 * blk:3 * blk]
-                    lx, ly, lz = sel[3 * blk:4 * blk], sel[4 * blk:5 * blk], sel[5 * blk:6 * blk]
+                    hit2n = jnp.concatenate([hitf] * nch + [hitl] * nch, axis=0)
+                    v2n = jnp.concatenate(vals + vals, axis=0)
+                    sel = jnp.sum(jnp.where(hit2n, v2n, 0.0), axis=1, keepdims=True)
+                    first_sel = [sel[c * blk:(c + 1) * blk] for c in range(nch)]
+                    last_sel = [sel[(nch + c) * blk:(nch + c + 1) * blk] for c in range(nch)]
                     gfst = jnp.where(fst < big, fst + s * w, big)
                     glst = jnp.where(lst >= 0, lst + s * w, big)
                     at_f = col == 2 * s
                     at_l = col == 2 * s + 1
                     idxs = jnp.where(at_f, gfst, jnp.where(at_l, glst, idxs))
-                    relx = jnp.where(at_f, fx, jnp.where(at_l, lx, relx))
-                    rely = jnp.where(at_f, fy, jnp.where(at_l, ly, rely))
-                    relz = jnp.where(at_f, fz, jnp.where(at_l, lz, relz))
+                    sel_planes = [jnp.where(at_f, fc, jnp.where(at_l, lc, sp))
+                                  for fc, lc, sp in zip(first_sel, last_sel, sel_planes)]
                 else:
                     fst = -jnp.max(jnp.where(mask, -lidx, -big), axis=1, keepdims=True)
                     hit = lidx == fst
-                    hit3 = jnp.concatenate([hit, hit, hit], axis=0)
-                    d3 = jnp.concatenate([dx, dy, dz], axis=0)
-                    sel = jnp.sum(jnp.where(hit3, d3, 0.0), axis=1, keepdims=True)
-                    fx, fy, fz = sel[0:blk], sel[blk:2 * blk], sel[2 * blk:3 * blk]
+                    hitn = jnp.concatenate([hit] * nch, axis=0)
+                    vn = jnp.concatenate(vals, axis=0)
+                    sel = jnp.sum(jnp.where(hitn, vn, 0.0), axis=1, keepdims=True)
+                    first_sel = [sel[c * blk:(c + 1) * blk] for c in range(nch)]
                     gfst = jnp.where(fst < big, fst + s * w, big)
                     at_f = col == s
                     idxs = jnp.where(at_f, gfst, idxs)
-                    relx = jnp.where(at_f, fx, relx)
-                    rely = jnp.where(at_f, fy, rely)
-                    relz = jnp.where(at_f, fz, relz)
+                    sel_planes = [jnp.where(at_f, fc, sp)
+                                  for fc, sp in zip(first_sel, sel_planes)]
 
                 better = gfst < first_all
                 first_all = jnp.minimum(first_all, gfst)
-                fillx = jnp.where(better, fx, fillx)
-                filly = jnp.where(better, fy, filly)
-                fillz = jnp.where(better, fz, fillz)
-                return idxs, relx, rely, relz, first_all, fillx, filly, fillz
+                fills = [jnp.where(better, fc, fl) for fc, fl in zip(first_sel, fills)]
+                return idxs, sel_planes, first_all, fills
 
             init = (jnp.full((blk, nsample), big, jnp.int32),
-                    jnp.zeros((blk, nsample), jnp.float32),
-                    jnp.zeros((blk, nsample), jnp.float32),
-                    jnp.zeros((blk, nsample), jnp.float32),
+                    [jnp.zeros((blk, nsample), jnp.float32) for _ in range(nch)],
                     jnp.full((blk, 1), big, jnp.int32),
-                    jnp.zeros((blk, 1), jnp.float32),
-                    jnp.zeros((blk, 1), jnp.float32),
-                    jnp.zeros((blk, 1), jnp.float32))
-            idxs, relx, rely, relz, first_all, fillx, filly, fillz = lax.fori_loop(
+                    [jnp.zeros((blk, 1), jnp.float32) for _ in range(nch)])
+            idxs, sel_planes, first_all, fills = lax.fori_loop(
                 0, stripes, stripe_body, init)
 
             found_any = first_all < big
@@ -276,9 +288,14 @@ def _ball_query_stripe_kernel(r2: float, nsample: int, blk: int, picks: int):
             missing = idxs >= big
             idx_ref[bi, :, :] = jnp.where(missing, fill_idx, idxs).astype(jnp.int32)
             use_fill = missing & found_any
-            rx_ref[bi, :, :] = jnp.where(use_fill, fillx, jnp.where(missing, 0.0, relx))
-            ry_ref[bi, :, :] = jnp.where(use_fill, filly, jnp.where(missing, 0.0, rely))
-            rz_ref[bi, :, :] = jnp.where(use_fill, fillz, jnp.where(missing, 0.0, relz))
+            for c, out_ref in enumerate((rx_ref, ry_ref, rz_ref)):
+                out_ref[bi, :, :] = jnp.where(
+                    use_fill, fills[c], jnp.where(missing, 0.0, sel_planes[c]))
+            for j, out_ref in enumerate(fo_refs):
+                # all-empty -> idx 0 -> point 0's feature (group_points parity)
+                out_ref[bi, :, :] = jnp.where(
+                    use_fill, fills[3 + j],
+                    jnp.where(missing, f_zero[j], sel_planes[3 + j]))
 
     return kernel
 
@@ -311,6 +328,51 @@ def _ball_query_stripes_bwd(radius, nsample, res, g):
 _ball_query_stripes.defvjp(_ball_query_stripes_fwd, _ball_query_stripes_bwd)
 
 
+# how many feature channels the in-kernel extraction carries before the
+# per-stripe stacked reduce outgrows the group_points gather it replaces
+MAX_KERNEL_FEATS = 4
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _ball_query_stripes_feats(radius: float, nsample: int, xyz: jax.Array,
+                              new_xyz: jax.Array, feats: jax.Array):
+    """Stripe ball query + in-sweep feature extraction.
+
+    feats (B, N, F), F <= MAX_KERNEL_FEATS. Returns (idx, rel planes x3,
+    feature planes xF) where feature plane j == feats[b, idx[b,m,s], j]
+    bitwise — the group_points gather (53 ms at SA1 shapes vs ~5 ms of
+    extra in-kernel reduce) never runs."""
+    return _ball_query_stripes_impl(radius, nsample, xyz, new_xyz, feats=feats)
+
+
+def _ball_query_stripes_feats_fwd(radius, nsample, xyz, new_xyz, feats):
+    out = _ball_query_stripes_impl(radius, nsample, xyz, new_xyz, feats=feats)
+    return out, (out[0], xyz.shape, feats.shape)
+
+
+def _ball_query_stripes_feats_bwd(radius, nsample, res, g):
+    """xyz/center cotangents as in the featureless VJP; feature-plane
+    cotangents scatter-add onto the gathered points (group_points grad)."""
+    idx, xyz_shape, feats_shape = res
+    _, g_rel, g_fp = g
+    b, m, ns = idx.shape
+    rows = jnp.arange(b)[:, None]
+    flat_idx = idx.reshape(b, m * ns)
+    g_stack = jnp.stack(g_rel, axis=-1)  # (B, M, ns, 3)
+    g_xyz = jnp.zeros(xyz_shape, g_stack.dtype)
+    g_xyz = g_xyz.at[rows, flat_idx].add(g_stack.reshape(b, m * ns, 3))
+    g_center = -jnp.sum(g_stack, axis=2)  # (B, M, 3)
+    g_fstack = jnp.stack(g_fp, axis=-1)  # (B, M, ns, F)
+    g_feats = jnp.zeros(feats_shape, g_fstack.dtype)
+    g_feats = g_feats.at[rows, flat_idx].add(
+        g_fstack.reshape(b, m * ns, feats_shape[-1]))
+    return g_xyz, g_center, g_feats
+
+
+_ball_query_stripes_feats.defvjp(_ball_query_stripes_feats_fwd,
+                                 _ball_query_stripes_feats_bwd)
+
+
 def _stripe_plan(n: int, nsample: int) -> tuple[int, int]:
     """Choose the stripe layout: (picks per stripe, padded point count).
 
@@ -329,7 +391,7 @@ def _stripe_plan(n: int, nsample: int) -> tuple[int, int]:
 
 @partial(jax.jit, static_argnums=(0, 1), static_argnames=("interpret",))
 def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
-                             *, interpret: bool = False):
+                             feats: jax.Array | None = None, *, interpret: bool = False):
     """Pallas stripe-sampled ball query (see ``ball_query`` docstring).
 
     Returns (idx (B, M, nsample) int32, rel planes ((B, M, nsample) f32 x3))
@@ -337,14 +399,21 @@ def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xy
     sweep, so no separate gather of grouped xyz is ever needed. Planes stay
     separate: stacking them to (..., 3) puts 3 in the lane dim (42x pad
     waste); consumers that need the tensor form stack explicitly.
+
+    With ``feats`` (B, N, F): also returns F grouped feature planes
+    (``== feats[b, idx, j]`` bitwise) as a third element.
     """
     b, m = new_xyz.shape[:2]
     n = xyz.shape[1]
+    nf = 0 if feats is None else feats.shape[-1]
     picks, np_padded = _stripe_plan(n, nsample)
     n_pad = np_padded - n
     xyz_p = jnp.pad(xyz.astype(jnp.float32), ((0, 0), (0, n_pad), (0, 0)),
                     constant_values=1e9) if n_pad else xyz.astype(jnp.float32)
     np_ = xyz_p.shape[1]
+    if nf:
+        feats_p = jnp.pad(feats.astype(jnp.float32), ((0, 0), (0, n_pad), (0, 0))) \
+            if n_pad else feats.astype(jnp.float32)
 
     blk = min(_BQ_BLK, m)
     while m % blk:
@@ -355,36 +424,44 @@ def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xy
     if b_pad:
         xyz_p = jnp.pad(xyz_p, ((0, b_pad), (0, 0), (0, 0)), constant_values=1e9)
         c = jnp.pad(c, ((0, b_pad), (0, 0), (0, 0), (0, 0)))
+        if nf:
+            feats_p = jnp.pad(feats_p, ((0, b_pad), (0, 0), (0, 0)))
     bp = xyz_p.shape[0]
 
     pts_spec = pl.BlockSpec((bq, np_), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     ctr_spec = pl.BlockSpec((bq, blk, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((bq, blk, nsample), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    idx, rx, ry, rz = pl.pallas_call(
-        _ball_query_stripe_kernel(float(radius * radius), nsample, blk, picks),
+    outs = pl.pallas_call(
+        _ball_query_stripe_kernel(float(radius * radius), nsample, blk, picks, nf),
         grid=(bp // bq, m // blk),
-        in_specs=[pts_spec, pts_spec, pts_spec, ctr_spec, ctr_spec, ctr_spec],
-        out_specs=[out_spec] * 4,
+        in_specs=[pts_spec] * (3 + nf) + [ctr_spec] * 3,
+        out_specs=[out_spec] * (4 + nf),
         out_shape=[jax.ShapeDtypeStruct((bp, m, nsample), jnp.int32)]
-        + [jax.ShapeDtypeStruct((bp, m, nsample), jnp.float32)] * 3,
+        + [jax.ShapeDtypeStruct((bp, m, nsample), jnp.float32)] * (3 + nf),
         # ~18 MB live in some surrounding-graph contexts (buffer assignment
         # varies under scan) — the 16 MB scoped-vmem default is compiler
         # policy, not the hardware cap
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(xyz_p[..., 0], xyz_p[..., 1], xyz_p[..., 2],
+      *([feats_p[..., j] for j in range(nf)] if nf else []),
       c[:, :, 0], c[:, :, 1], c[:, :, 2])
+    idx, rx, ry, rz = outs[0], outs[1], outs[2], outs[3]
+    if nf:
+        return idx[:b], (rx[:b], ry[:b], rz[:b]), tuple(o[:b] for o in outs[4:])
     return idx[:b], (rx[:b], ry[:b], rz[:b])
 
 
 @partial(jax.jit, static_argnums=(0, 1))
-def _ball_query_stripes_xla(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array):
+def _ball_query_stripes_xla(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.Array,
+                            feats: jax.Array | None = None):
     """Pure-XLA emulation of the Pallas stripe kernel's selection rule
     (first + last qualifier per contiguous stripe, same padding/fill
     semantics). Runs anywhere — used by the exact-vs-stripes detector
     ablation on the CPU mesh and as the off-TPU FORCE_MODE="stripes" path.
 
-    Returns (idx (B, M, nsample) int32, rel planes ((B, M, nsample) f32 x3)).
+    Returns (idx (B, M, nsample) int32, rel planes ((B, M, nsample) f32 x3)
+    [, grouped feature planes xF when ``feats`` is given]).
     """
     b, m = new_xyz.shape[:2]
     n = xyz.shape[1]
@@ -432,6 +509,11 @@ def _ball_query_stripes_xla(radius: float, nsample: int, xyz: jax.Array, new_xyz
     _, (idx, rel) = lax.scan(step, None, centers)
     idx = jnp.moveaxis(idx, 0, 1).reshape(b, m, nsample)
     rel = jnp.moveaxis(rel, 0, 1).reshape(b, m, nsample, 3)
+    if feats is not None:
+        fg = jnp.take_along_axis(feats.astype(jnp.float32), idx.reshape(b, -1, 1), axis=1)
+        fg = fg.reshape(b, m, nsample, feats.shape[-1])
+        return idx, (rel[..., 0], rel[..., 1], rel[..., 2]), \
+            tuple(fg[..., j] for j in range(feats.shape[-1]))
     return idx, (rel[..., 0], rel[..., 1], rel[..., 2])
 
 

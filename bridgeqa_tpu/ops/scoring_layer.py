@@ -214,6 +214,12 @@ def _dense_p(p):
     return p["kernel"], p["bias"]
 
 
+def _ffn_ln(layer_params, layernorm_idx: int):
+    if layernorm_idx == 0:
+        return layer_params["output_LayerNorm"]
+    return layer_params[f"output_LayerNorms_{layernorm_idx - 1}"]
+
+
 def fused_scoring_capable(config, batch: int, enc_batch: int, la: int,
                           hidden: int, dtype=jnp.bfloat16) -> bool:
     """Shape/feature gate for the fused scoring decoder body."""
@@ -230,12 +236,16 @@ def fused_scoring_capable(config, batch: int, enc_batch: int, la: int,
 
 
 def scoring_decoder_body(enc_params, emb, question_states, question_mask,
-                         *, config, dtype, interpret: bool = False):
+                         *, config, dtype, interpret: bool = False,
+                         layernorm_idx: int = 0):
     """Run the full decoder stack (all layers) through the fused kernel.
 
     enc_params: the BertEncoder param tree ({'layer_0': {...}, ...}).
     emb: (S, La, H) embedded answer tokens, S = Q * k grouped by question.
     question_states: (Q, Lq, H); question_mask: (Q, Lq) 1/0.
+    layernorm_idx: which FFN-output LayerNorm to use (BertOutputParallel,
+    parallelshare mode): 0 = ``output_LayerNorm``, i>=1 =
+    ``output_LayerNorms_{i-1}``.
 
     Returns (S, La, H) final hidden states (padded answer rows carry
     causal-only values — identical on all rows whose loss is unmasked).
@@ -295,8 +305,8 @@ def scoring_decoder_body(enc_params, emb, question_states, question_mask,
             cao["LayerNorm"]["bias"][None, :].astype(jnp.float32),
             wi.astype(dt), bi[None, :].astype(jnp.float32),
             wo2.astype(dt), bo2[None, :].astype(jnp.float32),
-            lp["output_LayerNorm"]["scale"][None, :].astype(jnp.float32),
-            lp["output_LayerNorm"]["bias"][None, :].astype(jnp.float32),
+            _ffn_ln(lp, layernorm_idx)["scale"][None, :].astype(jnp.float32),
+            _ffn_ln(lp, layernorm_idx)["bias"][None, :].astype(jnp.float32),
             ck, cv, cbias,
             la=la, group=group, heads=heads, eps=eps, interpret=interpret,
         )

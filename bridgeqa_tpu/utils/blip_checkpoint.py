@@ -84,6 +84,11 @@ def _bert_layer(sd, prefix):
         "output_dense": _linear(sd, f"{prefix}.output.dense"),
         "output_LayerNorm": _layernorm(sd, f"{prefix}.output.LayerNorm"),
     }
+    # BertOutputParallel extra LayerNorms (parallelshare checkpoints)
+    i = 0
+    while f"{prefix}.output.LayerNorms.{i}.weight" in sd:
+        layer[f"output_LayerNorms_{i}"] = _layernorm(sd, f"{prefix}.output.LayerNorms.{i}")
+        i += 1
     if f"{prefix}.crossattention.self.query.weight" in sd:
         layer["crossattention"] = _attention(sd, f"{prefix}.crossattention")
     return layer

@@ -41,6 +41,11 @@ def add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--no_blip", action="store_true", help="MCAN 3D-only path")
     p.add_argument("--stage", type=str, default="VQA", choices=["DET", "VQA"])
     p.add_argument("--share_decoder", action="store_true")
+    p.add_argument("--scene_feature_position", type=str, default="paralleltwin",
+                   choices=["paralleltwin", "parallelshare"],
+                   help="3D-stream decoder: separate twin decoder (paper main "
+                        "path) or one shared decoder with per-stream FFN "
+                        "LayerNorms (reference train.py:148)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize ViT/BERT layers (bigger train batches)")
@@ -82,7 +87,8 @@ def build_model_config(args, num_answers: int) -> BridgeQAConfig:
         blip = BlipVQA3DConfig(med=med, image_size=64, num_answers=num_answers,
                                vit="custom", vit_custom_embed_dim=64, vit_custom_depth=2,
                                vit_custom_heads=4, vit_drop_path_rate=0.0,
-                               bos_token_id=110, share_decoder=args.share_decoder)
+                               bos_token_id=110, share_decoder=args.share_decoder,
+                               scene_feature_position=args.scene_feature_position)
         return BridgeQAConfig(
             num_answers=num_answers, num_proposal=32, hidden_size=32, blip=blip,
             mcan_num_layers=1, mcan_flat_out_size=64, mcan_flat_mlp_size=32,
@@ -92,6 +98,7 @@ def build_model_config(args, num_answers: int) -> BridgeQAConfig:
         )
     blip = BlipVQA3DConfig(image_size=args.image_size, num_answers=num_answers,
                            share_decoder=args.share_decoder,
+                           scene_feature_position=args.scene_feature_position,
                            remat=getattr(args, "remat", False))
     return BridgeQAConfig(
         num_answers=num_answers,

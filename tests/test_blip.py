@@ -155,6 +155,62 @@ class TestBlipVQA3D:
         loss, _, _ = model.apply(variables, *args, train=False)
         assert jnp.isfinite(loss)
 
+    def test_parallelshare_variant(self):
+        """parallelshare (blip_vqa_3d.py:331-341): ONE decoder for both
+        streams, but the 3D calls select per-layer alternate FFN LayerNorms
+        (BertOutputParallel). Perturbing ONLY the alternate bank must change
+        the loss (it feeds the 3D stream) while layernorm_idx=0 outputs (the
+        2D rank scores) stay bitwise-identical."""
+        cfg = dataclasses.replace(TINY_CFG, scene_feature_position="parallelshare")
+        model = BLIPVQA3D(cfg)
+        rng = np.random.RandomState(0)
+        b, lq, la, n_obj = 1, 6, 4, 4
+        args = (
+            jnp.asarray(rng.rand(b, 32, 32, 3), jnp.float32),
+            jnp.asarray(rng.randint(1, 100, (b, lq))),
+            jnp.ones((b, lq), jnp.int32),
+            jnp.asarray(rng.randint(1, 100, (b, la))),
+            jnp.ones((b, la), jnp.int32),
+            jnp.asarray(rng.rand(b, n_obj, 16), jnp.float32),
+            jnp.ones((b, n_obj), jnp.int32),
+        )
+        variables = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                               *args, train=False)
+        params = variables["params"]
+        assert "text_decoder_scene" not in params
+        layer0 = params["text_decoder"]["bert"]["encoder"]["layer_0"]
+        assert "output_LayerNorms_0" in layer0
+
+        loss0, _, _ = model.apply(variables, *args, train=False)
+
+        # answer-list rank inputs: 8 answers over the tiny vocab
+        alist_ids = jnp.asarray(rng.randint(1, 100, (8, la))).at[:, 0].set(cfg.bos_token_id)
+        alist_mask = jnp.ones((8, la), jnp.int32)
+        rank_args = (args[0], args[1], args[2], alist_ids, alist_mask, args[5], args[6])
+        _, scores0, _ = model.apply(variables, *rank_args, k_test=4, method="rank")
+
+        # perturb ONLY the alternate LayerNorm bank in every decoder layer
+        perturbed = jax.tree_util.tree_map(lambda x: x, params)  # copy refs
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(perturbed)
+        n_hit = 0
+        for k in list(flat):
+            if "output_LayerNorms_0" in k and k[-1] == "scale" and k[0] == "text_decoder":
+                flat[k] = flat[k] * 2.0 + 0.1
+                n_hit += 1
+        assert n_hit == TINY_MED.num_hidden_layers
+        perturbed = flax.traverse_util.unflatten_dict(flat)
+
+        loss1, _, _ = model.apply({"params": perturbed}, *args, train=False)
+        assert not np.isclose(float(loss0), float(loss1)), "alternate LN bank is dead"
+
+        _, scores1, _ = model.apply({"params": perturbed}, *rank_args, k_test=4, method="rank")
+        np.testing.assert_array_equal(np.asarray(scores0["answer_scores_2d"]),
+                                      np.asarray(scores1["answer_scores_2d"]))
+        assert not np.allclose(np.asarray(scores0["answer_scores_scene"]),
+                               np.asarray(scores1["answer_scores_scene"]))
+
 
 class TestVpuAttentionPath:
     """The large-batch/short-seq attention branch (VPU broadcast-mul-reduce)

@@ -363,6 +363,97 @@ class TestBlipVQA3DGolden:
                                    ref_ens.numpy(), rtol=5e-3, atol=1e-12)
 
 
+class TestParallelshareGolden:
+    """BertOutputParallel / layernorm_idx (reference med.py:320-330, the
+    "parallelshare" decoder sharing of blip_vqa_3d.py:331-341).
+
+    The snapshot's BLIP_VQA3D hard-asserts paralleltwin (blip_vqa_3d.py:76),
+    so the full-model parallelshare path is unreachable in the reference —
+    the golden therefore drives the reference's own ``models.med``
+    BertLMHeadModel (where the machinery lives) with layernorm_idx 0 and 1
+    and requires our decoder to match both. The reference inits LayerNorms[0]
+    to weight=1/bias=0 (identical to the primary bank), so the banks are
+    RANDOMIZED first — a broken index selection would otherwise still pass.
+    Full-model orchestration of the idx (3D calls only) is pinned by
+    ``tests/test_blip.py::test_parallelshare_variant``.
+    """
+
+    def test_decoder_layernorm_idx_matches_reference(self, refmods):
+        import jax
+        import jax.numpy as jnp
+        import transformers
+
+        import models.med as ref_med
+
+        from bridgeqa_tpu.models.med import BertLMHeadModel, MedConfig
+        from bridgeqa_tpu.utils.blip_checkpoint import convert_lm_head, merge_pretrained
+
+        rng = np.random.RandomState(11)
+        h, layers, heads, inter, vocab = 48, 2, 4, 96, 120
+        ref_cfg = transformers.BertConfig(
+            vocab_size=vocab, hidden_size=h, num_hidden_layers=layers,
+            num_attention_heads=heads, intermediate_size=inter,
+            max_position_embeddings=64, is_decoder=True, add_cross_attention=True,
+        )
+        ref_cfg.encoder_width = h
+        torch.manual_seed(11)
+        ref = ref_med.BertLMHeadModel(ref_cfg).eval()
+        with torch.no_grad():
+            for name, p in ref.named_parameters():
+                if "LayerNorms" in name:
+                    p.copy_(torch.from_numpy(
+                        rng.uniform(0.5, 1.5, p.shape).astype(np.float32)))
+
+        b, la, lq = 3, 5, 7
+        ids = rng.randint(1, vocab, (b, la))
+        enc = rng.randn(b, lq, h).astype(np.float32)
+        enc_mask = (np.arange(lq)[None, :] < np.array([[7], [5], [6]])).astype(np.int64)
+        labels = ids.copy()
+
+        sd = {f"dec.{k}": v.numpy() for k, v in ref.state_dict().items()}
+        assert any("LayerNorms" in k for k in sd), "reference lost BertOutputParallel"
+        converted = convert_lm_head(sd, "dec", vocab)
+
+        cfg = MedConfig(vocab_size=vocab, hidden_size=h, num_hidden_layers=layers,
+                        num_attention_heads=heads, intermediate_size=inter,
+                        max_position_embeddings=64, encoder_width=h,
+                        parallel_layernorms=1)
+        model = BertLMHeadModel(cfg)
+        init = model.init(jax.random.PRNGKey(0), jnp.asarray(ids),
+                          encoder_hidden_states=jnp.asarray(enc),
+                          encoder_attention_mask=jnp.asarray(enc_mask),
+                          deterministic=True)
+        merged, loaded, skipped = merge_pretrained(init["params"], converted)
+        assert not skipped, skipped
+        assert any("output_LayerNorms_0" in str(k) for k in loaded), \
+            "converter did not map BertOutputParallel LayerNorms"
+
+        for idx in (0, 1):
+            with torch.no_grad():
+                out = ref(torch.tensor(ids), encoder_hidden_states=torch.tensor(enc),
+                          encoder_attention_mask=torch.tensor(enc_mask),
+                          labels=torch.tensor(ids), return_dict=True,
+                          reduction="none", layernorm_idx=idx)
+            logits, loss = model.apply({"params": merged}, jnp.asarray(ids),
+                                       encoder_hidden_states=jnp.asarray(enc),
+                                       encoder_attention_mask=jnp.asarray(enc_mask),
+                                       labels=jnp.asarray(labels), deterministic=True,
+                                       layernorm_idx=idx)
+            np.testing.assert_allclose(np.asarray(logits), out.logits.numpy(),
+                                       rtol=2e-4, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(loss), out.loss.numpy(),
+                                       rtol=2e-4, atol=2e-4)
+        # the two banks genuinely differ (discriminative fixture)
+        with torch.no_grad():
+            l0 = ref(torch.tensor(ids), encoder_hidden_states=torch.tensor(enc),
+                     encoder_attention_mask=torch.tensor(enc_mask),
+                     return_dict=True, layernorm_idx=0).logits.numpy()
+            l1 = ref(torch.tensor(ids), encoder_hidden_states=torch.tensor(enc),
+                     encoder_attention_mask=torch.tensor(enc_mask),
+                     return_dict=True, layernorm_idx=1).logits.numpy()
+        assert not np.allclose(l0, l1)
+
+
 class TestGenerateGolden:
     """Open-ended generation vs the reference's HF ``generate``
     (``blip_vqa_3d.py:394-416``): same converted weights, 2x5 interleaved

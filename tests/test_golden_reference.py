@@ -140,7 +140,12 @@ class TestTwinEncoderGolden:
                          jnp.asarray(img), jnp.asarray(img_mask), jnp.asarray(scene),
                          jnp.asarray(scene_mask), deterministic=True)
         merged, loaded, skipped = merge_pretrained(init["params"], converted)
-        assert not skipped, skipped
+        # every reference BertLayer physically carries the BertOutputParallel
+        # alternate LayerNorm bank (med.py:320-330), but paralleltwin never
+        # selects it (layernorm_idx=0 everywhere) — dropping those params is
+        # the correct conversion for a parallel_layernorms=0 target
+        real_skips = [s for s in skipped if "output_LayerNorms" not in s]
+        assert not real_skips, real_skips
 
         (h2d, h3d), _ = ours.apply({"params": merged}, jnp.asarray(ids), jnp.asarray(qmask),
                                    jnp.asarray(img), jnp.asarray(img_mask), jnp.asarray(scene),

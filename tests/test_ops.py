@@ -191,6 +191,72 @@ class TestStripeKernelOracle:
         assert (np.asarray(ki) == 0).any()
         assert (np.asarray(ki) > 0).any()
 
+    @pytest.mark.parametrize("n,nsample", [(1024, 8), (512, 8)])  # both plans
+    def test_feature_extraction_matches_group_points(self, rng, n, nsample):
+        """In-sweep feature extraction contract: feature plane j equals
+        ``feats[b, idx[b,m,s], j]`` BITWISE (fill slots carry the fill
+        point's features; all-empty balls carry point 0's, matching
+        ``group_points`` on the returned idx), kernel == emulation."""
+        from bridgeqa_tpu.ops.grouping import (
+            _ball_query_stripes_impl,
+            _ball_query_stripes_xla,
+        )
+
+        nf = 2
+        xyz = jnp.asarray(_cloud(rng, b=3, n=n, scale=2.0))
+        ctr = jnp.asarray(_cloud(rng, b=3, n=64, scale=2.0))
+        feats = jnp.asarray(rng.randn(3, n, nf).astype(np.float32))
+        ki, kr, kf = _ball_query_stripes_impl(0.5, nsample, xyz, ctr, feats,
+                                              interpret=True)
+        ei, er, ef = _ball_query_stripes_xla(0.5, nsample, xyz, ctr, feats)
+        np.testing.assert_array_equal(np.asarray(ki), np.asarray(ei))
+        for got, want in zip(kr + kf, er + ef):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # group_points parity: plane j == feats[b, idx, j] everywhere
+        gathered = np.take_along_axis(np.asarray(feats),
+                                      np.asarray(ki).reshape(3, -1, 1), axis=1)
+        gathered = gathered.reshape(3, 64, nsample, nf)
+        for j in range(nf):
+            np.testing.assert_array_equal(np.asarray(kf[j]), gathered[..., j])
+        assert (np.asarray(ki) == 0).any() and (np.asarray(ki) > 0).any()
+
+    def test_feature_extraction_grad(self, rng):
+        """The feats-kernel VJP must match autodiff of the equivalent
+        gather/recenter formulation (same idx held fixed)."""
+        import jax
+
+        from bridgeqa_tpu.ops.grouping import (
+            _ball_query_stripes_feats_bwd,
+            _ball_query_stripes_xla,
+        )
+
+        n, nsample, nf = 512, 8, 2
+        xyz = jnp.asarray(_cloud(rng, b=2, n=n, scale=2.0))
+        ctr = jnp.asarray(_cloud(rng, b=2, n=32, scale=2.0))
+        feats = jnp.asarray(rng.randn(2, n, nf).astype(np.float32))
+        idx, rel, fp = _ball_query_stripes_xla(0.5, nsample, xyz, ctr, feats)
+
+        g_rel = tuple(jnp.asarray(rng.randn(*r.shape).astype(np.float32)) for r in rel)
+        g_fp = tuple(jnp.asarray(rng.randn(*f.shape).astype(np.float32)) for f in fp)
+        g_xyz, g_ctr, g_feats = _ball_query_stripes_feats_bwd(
+            0.5, nsample, (idx, xyz.shape, feats.shape), (None, g_rel, g_fp))
+
+        def ref_fn(xyz_, ctr_, feats_):
+            sel = jnp.take_along_axis(xyz_, idx.reshape(2, -1, 1), axis=1)
+            rel_ = sel.reshape(2, 32, nsample, 3) - ctr_[:, :, None, :]
+            fsel = jnp.take_along_axis(feats_, idx.reshape(2, -1, 1), axis=1)
+            fsel = fsel.reshape(2, 32, nsample, nf)
+            return (jnp.sum(rel_ * jnp.stack(g_rel, -1))
+                    + jnp.sum(fsel * jnp.stack(g_fp, -1)))
+
+        rx, rc, rf = jax.grad(ref_fn, argnums=(0, 1, 2))(xyz, ctr, feats)
+        np.testing.assert_allclose(np.asarray(g_feats), np.asarray(rf), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_ctr), np.asarray(rc), atol=1e-5)
+        # the kernel zeroes rel on all-empty balls while the plain gather
+        # does not; restrict the xyz check to batches with no all-empty
+        # slots — the fixture's 0.5 radius over 512 points leaves none
+        np.testing.assert_allclose(np.asarray(g_xyz), np.asarray(rx), atol=1e-5)
+
 
 class TestPlaneDense:
     def test_hybrid_matches_dense_concat(self, rng):
