@@ -91,12 +91,17 @@ def main():
     from bridgeqa_tpu.models.bridgeqa import BridgeQA, BridgeQAConfig
 
     dc = ScannetDatasetConfig()
-    cfg = BridgeQAConfig(num_answers=NUM_ANSWERS)
+    # input_feature_dim=1: the reference eval default (--use_height) feeds
+    # xyz + height; the stripe kernel extracts the height channel in its
+    # own sweep so the extra channel is ~free (round-3)
+    cfg = BridgeQAConfig(num_answers=NUM_ANSWERS, input_feature_dim=1)
     model = BridgeQA(cfg, mean_size_arr=dc.mean_size_arr, dtype=jnp.bfloat16)
 
     rng = np.random.RandomState(0)
+    pc = (rng.rand(BATCH, NUM_POINTS, 3) - 0.5) * 6.0
+    height = (pc[..., 2:3] - pc[..., 2:3].min(axis=1, keepdims=True))
     batch = dict(
-        point_clouds=jnp.asarray((rng.rand(BATCH, NUM_POINTS, 3) - 0.5) * 6.0, jnp.float32),
+        point_clouds=jnp.asarray(np.concatenate([pc, height], axis=-1), jnp.float32),
         images=jnp.asarray(rng.rand(BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32),
         question_ids=jnp.asarray(rng.randint(1, 30000, (BATCH, QUESTION_LEN))),
         question_mask=jnp.ones((BATCH, QUESTION_LEN), jnp.int32),
@@ -202,6 +207,18 @@ def main():
 
     t_vit = timed_scan(vit_fn, img_stack)
 
+    pc_stack2 = jnp.asarray(
+        np.stack([np.asarray(batch["point_clouds"]) + 1e-3 * (i + 1) for i in range(REPS)]))
+
+    def det_fn(v, pc_i):
+        def run(m, pc_i):
+            out = m.detector(pc_i, train=False)
+            return sum(jnp.sum(o.astype(jnp.float32))
+                       for o in jax.tree_util.tree_leaves(out) if o.dtype != jnp.int32)
+        return model.apply(v, pc_i, method=run)
+
+    t_det = timed_scan(det_fn, pc_stack2)
+
     s_flops, s_bytes = scoring_pass_flops_bytes()
     mfu_scoring = s_flops / t_scoring / PEAK_BF16_FLOPS
     mbu_scoring = s_bytes / t_scoring / PEAK_HBM_BYTES
@@ -221,6 +238,7 @@ def main():
                        "rounds 1-2 timed per-dispatch incl. tunnel fetch (~44 ms pessimistic)",
         "scoring_pass_ms": round(t_scoring * 1e3, 1),
         "vit_ms": round(t_vit * 1e3, 1),
+        "detector_ms": round(t_det * 1e3, 1),
         "mfu_scoring": round(mfu_scoring, 3),
         "mbu_scoring": round(mbu_scoring, 3),
         "mfu_vit": round(mfu_vit, 3),

@@ -371,12 +371,12 @@ class BertEncoderTwin(nn.Module):
 
             new_hidden, self_p, cross_p = layer(
                 hidden_states, attention_bias, cross_mix, encoder_attention_bias,
-                deterministic, True,
+                deterministic, True, 0,
             )
             if layer_twin is not None:
                 new_twin, self_pt, cross_pt = layer_twin(
                     hidden_twin, attention_bias, cross_mix_twin, encoder_attention_bias_twin,
-                    deterministic, True,
+                    deterministic, True, 0,
                 )
                 hidden_twin = new_twin
             else:

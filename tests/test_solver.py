@@ -91,3 +91,26 @@ class TestPredictScore:
         results = score_script.main(["--run_dir", d, "--split", "val"])
         assert "EM@1" in results and "BLEU-1" in results and "CIDEr" in results
         assert 0.0 <= results["EM@1"] <= 100.0
+
+
+class TestParallelshareDriver:
+    def test_train_step_parallelshare(self, tmp_path):
+        """The --scene_feature_position parallelshare CLI mode wires through
+        BridgeQA end-to-end: one decoder (no text_decoder_scene params), the
+        alternate LayerNorm bank present, train step finite."""
+        from scripts import train as train_script
+
+        solver = train_script.main([
+            "--synthetic", "--tiny", "--epochs", "1", "--batch_size", "2",
+            "--num_points", "1024", "--max_iters_per_epoch", "1", "--val_step", "0",
+            "--k_test", "4", "--scene_feature_position", "parallelshare",
+            "--output_root", str(tmp_path), "--tag", "ps",
+        ])
+        del solver
+        from bridgeqa_tpu.train import checkpoints
+
+        payload = checkpoints.load_params(os.path.join(str(tmp_path), "ps"), "model_last")
+        blip = payload["params"]["blip_model"]
+        assert "text_decoder_scene" not in blip
+        layer0 = blip["text_decoder"]["bert"]["encoder"]["layer_0"]
+        assert "output_LayerNorms_0" in layer0
