@@ -175,3 +175,43 @@ class TestMeteorVsNltk:
             theirs = nltk_meteor.meteor_score(
                 [_tok(r) for r in refs], _tok(hyp), wordnet=self._NoWordnet())
             np.testing.assert_allclose(ours, theirs, rtol=1e-9, err_msg=f"{refs} / {hyp}")
+
+
+class TestBleuVsNltk:
+    """Corpus-BLEU oracle: our COCO-style BLEU (corpus counts, closest-ref
+    brevity penalty, geometric mean — the reference scores with
+    pycocoevalcap's Bleu, the same algorithm) must match nltk's
+    ``corpus_bleu`` with uniform weights exactly on corpora where every
+    order has nonzero matches (the implementations differ only in
+    zero-count smoothing, which ScanQA answer scoring never hits at
+    BLEU-1/2 and the reference leaves unsmoothed anyway)."""
+
+    def test_matches_nltk_corpus_bleu(self):
+        pytest.importorskip("nltk")
+        from nltk.translate.bleu_score import corpus_bleu
+
+        from bridgeqa_tpu.eval.scoring import bleu
+
+        rng = np.random.RandomState(3)
+        vocab = ["red", "blue", "chair", "table", "on", "the", "left",
+                 "right", "a", "small"]
+        gts, res = {}, {}
+        refs_nltk, hyps_nltk = [], []
+        for q in range(16):
+            n_ref = rng.randint(1, 4)
+            refs = [" ".join(rng.choice(vocab, rng.randint(5, 10)))
+                    for _ in range(n_ref)]
+            base = list(refs[rng.randint(n_ref)].split())
+            base[rng.randint(len(base))] = str(rng.choice(vocab))
+            if q % 3 == 0:
+                base = base[:-1]  # exercise the brevity penalty
+            gts[q] = refs
+            res[q] = [" ".join(base)]
+            refs_nltk.append([r.split() for r in refs])
+            hyps_nltk.append(base)
+
+        ours = bleu(gts, res)
+        assert all(o < 1.0 for o in ours), "fixture must be discriminative"
+        for n in range(1, 5):
+            ref = corpus_bleu(refs_nltk, hyps_nltk, weights=tuple([1.0 / n] * n))
+            assert abs(ours[n - 1] - ref) < 1e-9, (n, ours[n - 1], ref)

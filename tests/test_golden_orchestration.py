@@ -363,6 +363,83 @@ class TestBlipVQA3DGolden:
                                    ref_ens.numpy(), rtol=5e-3, atol=1e-12)
 
 
+class TestClassifierGolden:
+    """Classifier answer mode (``use_text_decoder=False``,
+    blip_vqa_3d.py:354-393): answer_cls on both CLS states + the
+    answer_cls_2d3d head on the fused state, 3-way average — vs the
+    reference's own torch forward with converted weights."""
+
+    def test_classifier_scores_match_reference(self, refmods):
+        import jax
+
+        from bridgeqa_tpu.models.blip_vqa3d import BLIPVQA3D, BlipVQA3DConfig
+        from bridgeqa_tpu.models.med import MedConfig
+        from bridgeqa_tpu.utils.blip_checkpoint import convert_blip_vqa, merge_pretrained
+
+        import models.blip_vqa_3d as ref_vqa3d
+
+        rng = np.random.RandomState(5)
+        questions = ["q0", "q1"]
+        table = {q: [101] + list(rng.randint(1000, 29000, 6 + i)) + [102]
+                 for i, q in enumerate(questions)}
+        ref_vqa3d.init_tokenizer = lambda: _FakeTokenizer(table)
+        torch.manual_seed(5)
+        ref_model = ref_vqa3d.BLIP_VQA3D(
+            image_size=48, vit="base", scene_size=16, num_answers=30,
+            use_text_decoder=False, use_scene_classifier_2d3d=True,
+            scene_feature_position="paralleltwin",
+            encoder_layers=2, decoder_layers=1,
+        ).eval()
+
+        cfg = BlipVQA3DConfig(
+            med=MedConfig(), image_size=48, vit="base", scene_size=16,
+            num_answers=30, use_text_decoder=False, use_scene_classifier_2d3d=True,
+            encoder_layers=2, decoder_layers=1, vit_drop_path_rate=0.0,
+        )
+        model = BLIPVQA3D(cfg)
+
+        b = len(questions)
+        image = rng.rand(b, 48, 48, 3).astype(np.float32)
+        scene = rng.randn(b, 5, 16).astype(np.float32)
+        scene_mask = np.array([[1, 1, 1, 1, 1], [1, 1, 0, 0, 0]], np.int64)
+        q_ids, q_mask = _pad_ids(table, questions, first_token=_FakeTokenizer.enc_token_id)
+
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            image, q_ids, q_mask, scene, scene_mask, train=False, method="classify",
+        )
+        sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+        converted = convert_blip_vqa(sd, image_size=48)
+        merged, _, skipped = merge_pretrained(variables["params"], converted)
+        real_skips = [s for s in skipped if "no such param" not in s]
+        assert not real_skips, real_skips
+
+        image_t = torch.from_numpy(image.transpose(0, 3, 1, 2))
+        with torch.no_grad():
+            ref_scores, ref_hidden, _ = ref_model(
+                image_t, questions, train=False,
+                scene_object_embeds=torch.from_numpy(scene),
+                scene_object_mask=torch.from_numpy(scene_mask),
+                data_dict={},
+            )
+        ref_logits, ref_2d, ref_scene, ref_2d3d = ref_scores
+
+        scores, fused, _ = model.apply(
+            {"params": merged}, image, q_ids, q_mask, scene, scene_mask,
+            train=False, method="classify",
+        )
+        np.testing.assert_allclose(np.asarray(fused), ref_hidden.numpy(),
+                                   rtol=5e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(scores["answer_scores_2d"]),
+                                   ref_2d.numpy(), rtol=5e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(scores["answer_scores_scene"]),
+                                   ref_scene.numpy(), rtol=5e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(scores["answer_scores_2d3d"]),
+                                   ref_2d3d.numpy(), rtol=5e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(scores["answer_scores"]),
+                                   ref_logits.numpy(), rtol=5e-3, atol=1e-4)
+
+
 class TestParallelshareGolden:
     """BertOutputParallel / layernorm_idx (reference med.py:320-330, the
     "parallelshare" decoder sharing of blip_vqa_3d.py:331-341).
