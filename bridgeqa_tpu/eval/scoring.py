@@ -9,12 +9,13 @@ in python so scoring runs anywhere:
   (the COCO/pycocoevalcap convention);
 - ROUGE-L: LCS F-measure with beta=1.2, max over references, mean over
   samples (COCO convention);
-- CIDEr: tf-idf weighted n-gram cosine (n=1..4) with length gaussian
-  penalty (sigma=6), df from the gt corpus;
-- METEOR: approximate python implementation (exact-match alignment,
-  harmonic mean alpha=0.9, fragmentation penalty gamma=0.5 beta=3) — the
-  reference's Java METEOR 1.5 has synonym/stem modules this lacks; values
-  are close but not identical, flagged in the output key.
+- CIDEr: pycocoevalcap CIDEr-D semantics bit-for-bit — raw tf x idf
+  vectors, min-clipped numerator, per-n cosine, length gaussian penalty
+  (sigma=6), df from the gt corpus;
+- METEOR: Lavie-Agarwal aligner (exact + Porter-stem stages, minimal-chunk
+  tiebreak; nltk-oracle-matched) with harmonic mean alpha=0.9 and
+  fragmentation penalty gamma=0.5 beta=3 — the Java METEOR 1.5 WordNet
+  synonym stage is inactive (no corpus offline), flagged in the output key.
 """
 
 import collections
@@ -172,7 +173,12 @@ def rouge_l(gts, res, beta: float = 1.2):
 # --- CIDEr ---
 
 def cider(gts, res, max_n: int = 4, sigma: float = 6.0):
-    # document frequency over gt corpus
+    """CIDEr-D exactly as the reference's scorer computes it (pycocoevalcap
+    ``cider_scorer.py``): RAW term-frequency x idf vectors (no tf
+    normalization), a MIN-CLIPPED numerator ``min(h, r) * r`` (penalizes
+    hypothesis n-gram repetition beyond the reference count), per-n cosine
+    normalization, gaussian length penalty (sigma=6), mean over n, x10."""
+    # document frequency over the gt corpus (each n-gram once per question)
     df = collections.Counter()
     for qid in gts:
         seen = set()
@@ -183,38 +189,40 @@ def cider(gts, res, max_n: int = 4, sigma: float = 6.0):
             df[ng] += 1
     log_num_docs = math.log(max(len(gts), 1))
 
-    def tfidf_vec(tokens):
-        vecs = []
+    def counts2vec(tokens):
+        vecs, norms = [], []
         for n in range(1, max_n + 1):
-            counts = _ngrams(tokens, n)
-            total = max(sum(counts.values()), 1)
             vec = {}
-            for ng, c in counts.items():
+            s = 0.0
+            for ng, c in _ngrams(tokens, n).items():
                 idf = log_num_docs - math.log(max(df.get(ng, 0), 1.0))
-                vec[ng] = (c / total) * idf
+                vec[ng] = c * idf
+                s += vec[ng] * vec[ng]
             vecs.append(vec)
-        return vecs
+            norms.append(math.sqrt(s))
+        return vecs, norms
 
-    def sim(v1, v2, len1, len2):
+    def sim(hv, hn, rv, rn, len_h, len_r):
+        penalty = math.exp(-((len_h - len_r) ** 2) / (2 * sigma**2))
         total = 0.0
         for n in range(max_n):
-            num = sum(v1[n].get(ng, 0) * v2[n][ng] for ng in v2[n])
-            norm1 = math.sqrt(sum(x * x for x in v1[n].values()))
-            norm2 = math.sqrt(sum(x * x for x in v2[n].values()))
-            s = num / (norm1 * norm2) if norm1 and norm2 else 0.0
-            s *= math.exp(-((len1 - len2) ** 2) / (2 * sigma**2))
-            total += s
-        return total / max_n
+            num = sum(min(hv[n][ng], rv[n].get(ng, 0.0)) * rv[n].get(ng, 0.0)
+                      for ng in hv[n])
+            s = num / (hn[n] * rn[n]) if hn[n] and rn[n] else 0.0
+            total += s * penalty
+        return total
 
     scores = []
     for qid in res:
         hyp = _tok(res[qid][0])
-        hv = tfidf_vec(hyp)
+        hv, hn = counts2vec(hyp)
         s = 0.0
         for ref_s in gts[qid]:
             ref = _tok(ref_s)
-            s += sim(hv, tfidf_vec(ref), len(hyp), len(ref))
-        scores.append(10.0 * s / max(len(gts[qid]), 1))
+            rv, rn = counts2vec(ref)
+            s += sim(hv, hn, rv, rn, len(hyp), len(ref))
+        # pycocoevalcap: mean over n, then / num refs, then x10
+        scores.append(10.0 * s / max_n / max(len(gts[qid]), 1))
     return sum(scores) / max(len(scores), 1)
 
 

@@ -215,3 +215,90 @@ class TestBleuVsNltk:
         for n in range(1, 5):
             ref = corpus_bleu(refs_nltk, hyps_nltk, weights=tuple([1.0 / n] * n))
             assert abs(ours[n - 1] - ref) < 1e-9, (n, ours[n - 1], ref)
+
+
+class TestCiderOracle:
+    """CIDEr-D oracle: an independent from-scratch transcription of the
+    published pycocoevalcap ``cider_scorer.py`` algorithm (raw tf x idf,
+    min-clipped numerator over hypothesis n-grams, per-n cosine, gaussian
+    length penalty, mean over n, x10) must agree with ``scoring.cider``
+    to 1e-12 on a discriminative corpus (repeated hypothesis n-grams so
+    the min-clipping actually bites)."""
+
+    @staticmethod
+    def _oracle(gts, res, n_max=4, sigma=6.0):
+        import collections
+        import math
+
+        from bridgeqa_tpu.eval.scoring import _ngrams, _tok
+
+        doc_freq = collections.defaultdict(float)
+        for qid in gts:
+            for ng in set().union(*(set(_ngrams(_tok(r), n))
+                                    for r in gts[qid] for n in range(1, n_max + 1))):
+                doc_freq[ng] += 1
+        ref_len = math.log(float(len(gts)))
+
+        def counts2vec(cnts):
+            vec = [collections.defaultdict(float) for _ in range(n_max)]
+            norm = [0.0] * n_max
+            length = 0
+            for ngram, term_freq in cnts.items():
+                df = math.log(max(1.0, doc_freq[ngram]))
+                n = len(ngram) - 1
+                vec[n][ngram] = float(term_freq) * (ref_len - df)
+                norm[n] += pow(vec[n][ngram], 2)
+                if n == 1:
+                    length += term_freq
+            return vec, [math.sqrt(x) for x in norm], length
+
+        def allgrams(tokens):
+            out = {}
+            for n in range(1, n_max + 1):
+                for ng, c in _ngrams(tokens, n).items():
+                    out[ng] = c
+            return out
+
+        def sim(vh, vr, nh, nr, lh, lr):
+            delta = float(lh - lr)
+            val = [0.0] * n_max
+            for n in range(n_max):
+                for ngram, count in vh[n].items():
+                    val[n] += min(vh[n][ngram], vr[n][ngram]) * vr[n][ngram]
+                if nh[n] != 0 and nr[n] != 0:
+                    val[n] /= nh[n] * nr[n]
+                val[n] *= math.e ** (-(delta**2) / (2 * sigma**2))
+            return val
+
+        scores = []
+        for qid in res:
+            # note: pycocoevalcap counts "length" as bigram total; replicate
+            vec, norm, length = counts2vec(allgrams(_tok(res[qid][0])))
+            score = [0.0] * n_max
+            for ref_s in gts[qid]:
+                vr, nr, lr = counts2vec(allgrams(_tok(ref_s)))
+                for n, v in enumerate(sim(vec, vr, norm, nr, length, lr)):
+                    score[n] += v
+            score_avg = sum(score) / n_max / len(gts[qid]) * 10.0
+            scores.append(score_avg)
+        return sum(scores) / len(scores)
+
+    def test_matches_pycocoevalcap_transcription(self):
+        from bridgeqa_tpu.eval.scoring import cider
+
+        rng = np.random.RandomState(9)
+        vocab = ["red", "blue", "chair", "table", "on", "the", "left", "right"]
+        gts, res = {}, {}
+        for q in range(14):
+            refs = [" ".join(rng.choice(vocab, rng.randint(4, 9)))
+                    for _ in range(rng.randint(1, 4))]
+            base = list(refs[0].split())
+            base[rng.randint(len(base))] = str(rng.choice(vocab))
+            if q % 4 == 0:
+                base = base + base[:2]  # repeated n-grams: min-clip must bite
+            gts[q] = refs
+            res[q] = [" ".join(base)]
+        ours = cider(gts, res)
+        ref = self._oracle(gts, res)
+        assert ours > 0.0
+        assert abs(ours - ref) < 1e-12, (ours, ref)
