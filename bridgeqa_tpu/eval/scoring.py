@@ -153,20 +153,24 @@ def _lcs(a, b):
 
 
 def rouge_l(gts, res, beta: float = 1.2):
+    """ROUGE-L exactly as the reference's scorer computes it (pycocoevalcap
+    ``rouge.py``): the max PRECISION and max RECALL are taken SEPARATELY
+    over the references (possibly from different refs) before the
+    F-combination — not the max of per-reference F-scores."""
     scores = []
     for qid in res:
         hyp = _tok(res[qid][0])
-        best = 0.0
+        prec_max = rec_max = 0.0
         for ref_s in gts[qid]:
             ref = _tok(ref_s)
             lcs = _lcs(hyp, ref)
-            if lcs == 0:
-                continue
-            prec = lcs / len(hyp) if hyp else 0
-            rec = lcs / len(ref) if ref else 0
-            score = ((1 + beta**2) * prec * rec) / (rec + beta**2 * prec) if prec and rec else 0.0
-            best = max(best, score)
-        scores.append(best)
+            prec_max = max(prec_max, lcs / len(hyp) if hyp else 0.0)
+            rec_max = max(rec_max, lcs / len(ref) if ref else 0.0)
+        if prec_max and rec_max:
+            score = ((1 + beta**2) * prec_max * rec_max) / (rec_max + beta**2 * prec_max)
+        else:
+            score = 0.0
+        scores.append(score)
     return sum(scores) / max(len(scores), 1)
 
 

@@ -302,3 +302,48 @@ class TestCiderOracle:
         ref = self._oracle(gts, res)
         assert ours > 0.0
         assert abs(ours - ref) < 1e-12, (ours, ref)
+
+
+class TestRougeOracle:
+    """ROUGE-L oracle vs an independent transcription of pycocoevalcap
+    ``rouge.py``: max precision and max recall taken SEPARATELY over the
+    references before the F-combination. The fixture includes a case where
+    the best-precision and best-recall references differ — the max-of-F
+    formulation (the previous bug) disagrees there."""
+
+    @staticmethod
+    def _oracle(gts, res, beta=1.2):
+        from bridgeqa_tpu.eval.scoring import _lcs, _tok
+
+        scores = []
+        for qid in res:
+            token_c = _tok(res[qid][0])
+            prec, rec = [], []
+            for ref_s in gts[qid]:
+                token_r = _tok(ref_s)
+                lcs = _lcs(token_r, token_c)
+                prec.append(lcs / float(len(token_c)))
+                rec.append(lcs / float(len(token_r)))
+            prec_max, rec_max = max(prec), max(rec)
+            if prec_max != 0 and rec_max != 0:
+                s = ((1 + beta**2) * prec_max * rec_max) / (rec_max + beta**2 * prec_max)
+            else:
+                s = 0.0
+            scores.append(s)
+        return sum(scores) / len(scores)
+
+    def test_matches_pycocoevalcap_transcription(self):
+        from bridgeqa_tpu.eval.scoring import rouge_l
+
+        gts = {
+            # best precision from ref A (short superset), best recall from
+            # ref B (long) — separate-max vs max-of-F diverge here
+            0: ["the red chair", "the red chair stands on the left side of the room"],
+            1: ["a blue table", "blue table"],
+            2: ["on the right"],
+        }
+        res = {0: ["the red chair on left"], 1: ["a blue chair"], 2: ["on the right"]}
+        ours = rouge_l(gts, res)
+        ref = self._oracle(gts, res)
+        assert abs(ours - ref) < 1e-12, (ours, ref)
+        assert 0.0 < ours < 1.0
