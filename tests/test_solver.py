@@ -114,3 +114,22 @@ class TestParallelshareDriver:
         assert "text_decoder_scene" not in blip
         layer0 = blip["text_decoder"]["bert"]["encoder"]["layer_0"]
         assert "output_LayerNorms_0" in layer0
+
+
+class TestEvalDriver:
+    def test_eval_qa_and_detection(self, run_dir):
+        """scripts/eval.py over the trained tiny run: QA scalar means +
+        detector mAP@0.25/0.5 written to score.<split>.json, all finite."""
+        run, _ = run_dir
+        from scripts import eval as eval_script
+
+        eval_script.main(["--run_dir", run, "--qa", "--detection",
+                          "--k_test", "4", "--batch_size", "4"])
+        out = os.path.join(run, "score.val.json")
+        assert os.path.exists(out)
+        with open(out) as f:
+            results = json.load(f)
+        assert "qa" in results and "mAP@0.25" in results and "mAP@0.5" in results
+        for v in results["qa"].values():
+            assert np.isfinite(v)
+        assert np.isfinite(results["mAP@0.25"].get("mAP", 0.0))
