@@ -99,14 +99,58 @@ def exact_match(preds_top10, golds):
     return em1 / max(n, 1), em10 / max(n, 1)
 
 
+def top1_f_value(gts, res):
+    """The reference's 'Top1 (F-value)' (score.py:43-49 + 65-74): for EM
+    misses, the max over references of a unigram-overlap F1 on lemmatized
+    tokens (``simple_ratio`` both ways, harmonic mean); EM hits score 1.
+    Degraded mode: identity lemmatization (the reference uses nltk's
+    WordNetLemmatizer; no corpus offline) — plural/inflection variants
+    score slightly lower than the reference would."""
+    def lemma(s):
+        return s.split()
+
+    def ratio(numerator, denominator):
+        return (sum(1 for t in denominator if t in numerator)
+                / max(len(denominator), 1))
+
+    scores = []
+    for qid in res:
+        pred = res[qid][0]
+        if pred in set(gts[qid]):
+            scores.append(1.0)
+            continue
+        best = 0.0
+        for ref_s in gts[qid]:
+            p = ratio(lemma(ref_s), lemma(pred))
+            r = ratio(lemma(pred), lemma(ref_s))
+            best = max(best, 2 * r * p / (r + p) if (r + p) else 0.0)
+        scores.append(best)
+    return sum(scores) / max(len(scores), 1)
+
+
 # --- n-gram helpers ---
 
 def _ngrams(tokens, n):
     return collections.Counter(tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
 
 
+# pycocoevalcap PTBTokenizer's dropped-punctuation list (ptbtokenizer.py)
+_PTB_PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+              ".", "?", "!", ",", ":", "-", "--", "...", ";"}
+_CLITICS = re.compile(r"\b(\w+)(n't|'s|'re|'ve|'ll|'d|'m)\b")
+_PUNCT_CHARS = re.compile(r"([.,!?:;]+|-{1,2}|\.{3})")
+
+
 def _tok(s):
-    return s.split()
+    """PTB-approximate tokenization (the reference runs gts/res through
+    pycocoevalcap's Java PTBTokenizer before every caption metric,
+    score.py:104-109): lowercase, split clitics ("it's" -> "it 's"),
+    separate punctuation, drop the PTB punctuation tokens. Exact for
+    ScanQA's normalized short answers; an approximation of the Stanford
+    tokenizer's full behavior on arbitrary text."""
+    s = _CLITICS.sub(r"\1 \2", s.lower())
+    s = _PUNCT_CHARS.sub(r" \1 ", s)
+    return [t for t in s.split() if t not in _PTB_PUNCT]
 
 
 # --- BLEU (corpus-level, COCO convention) ---
@@ -346,6 +390,7 @@ def score_predictions(preds, gold_records):
     out = {
         "EM@1": em1 * 100,
         "EM@10": em10 * 100,
+        "Top1 (F-value)": top1_f_value(gts, res) * 100,
         "BLEU-1": bleus[0] * 100,
         "BLEU-2": bleus[1] * 100,
         "BLEU-3": bleus[2] * 100,

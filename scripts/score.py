@@ -52,6 +52,11 @@ def main(argv=None):
         "SPICE": "not computed (Java pycocoevalcap pipeline; out of scope offline)",
         "METEOR": "Lavie-Agarwal aligner, exact + Porter-stem stages; "
                   "WordNet synonym stage inactive (no corpus data offline)",
+        "Top1 (F-value)": "identity lemmatization (reference uses nltk "
+                          "WordNetLemmatizer; no corpus data offline)",
+        "tokenization": "PTB-approximate (lowercase, clitic split, "
+                        "punctuation dropped) in place of the Java "
+                        "PTBTokenizer",
     }
     out_path = os.path.join(args.run_dir, f"report.{args.split}.json")
     with open(out_path, "w") as f:
