@@ -195,6 +195,56 @@ def batch_ablation():
     return {k: jnp.asarray(v) for k, v in b.items()}
 
 
+class TestStripesWithFeatures:
+    def test_feature_planes_receive_gradient(self, batch_ablation):
+        """Training through the stripes path WITH input features (the
+        in-sweep feature-extraction integration): the height channel flows
+        through the grouped feature plane into PlaneDense layer 0's last
+        kernel row, which must receive nonzero gradient; loss decreases."""
+        import bridgeqa_tpu.ops.grouping as grouping
+
+        def builder():
+            return VoteNetDetector(
+                num_class=CFG.num_class, num_heading_bin=CFG.num_heading_bin,
+                num_size_cluster=CFG.num_size_cluster, mean_size_arr=CFG.mean_size_arr,
+                num_proposal=64, input_feature_dim=1,
+                sa_npoints=(512, 256, 128, 64), sa_nsamples=(32, 16, 8, 8),
+            )
+
+        pc = batch_ablation["point_clouds"]
+        height = pc[..., 2:3] - jnp.min(pc[..., 2:3], axis=1, keepdims=True)
+        batch = dict(batch_ablation)
+        batch["point_clouds"] = jnp.concatenate([pc, height], axis=-1)
+
+        old_mode = grouping.FORCE_MODE
+        grouping.FORCE_MODE = "stripes"
+        try:
+            model = builder()
+            variables = model.init(jax.random.PRNGKey(0), batch["point_clouds"], train=True)
+
+            def loss_fn(p):
+                out, _ = model.apply(
+                    {"params": p, "batch_stats": variables["batch_stats"]},
+                    batch["point_clouds"], train=True, mutable=["batch_stats"],
+                )
+                end_points = dict(batch)
+                end_points.update(out)
+                loss, _ = get_loss(end_points, CFG, detection=True, use_reference=False,
+                                   use_lang_classifier=False, use_answer=False)
+                return loss
+
+            grads = jax.grad(loss_fn)(variables["params"])
+            k = grads["backbone_net"]["sa1"]["mlp_module"]["layer0"]["kernel"]
+            assert k.shape[0] == 4  # [x, y, z, height] rows
+            g_feat = float(jnp.abs(k[3]).sum())
+            assert np.isfinite(g_feat) and g_feat > 0.0, "height plane gradient is dead"
+        finally:
+            grouping.FORCE_MODE = old_mode
+
+        hist, _, _ = _train_detector(batch, force_mode="stripes", steps=15, builder=builder)
+        assert hist[-1, 0] < hist[0, 0], "loss did not decrease with feature planes"
+
+
 @pytest.mark.slow
 class TestBallQueryModeAblation:
     """Round-1 verdict item 4: the stripe fast mode's statistical argument
