@@ -138,19 +138,28 @@ def _ngrams(tokens, n):
 _PTB_PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
               ".", "?", "!", ",", ":", "-", "--", "...", ";"}
 _CLITICS = re.compile(r"\b(\w+)(n't|'s|'re|'ve|'ll|'d|'m)\b")
-_PUNCT_CHARS = re.compile(r"([.,!?:;]+|-{1,2}|\.{3})")
+_EDGES = re.compile(r"""^([.,!?:;'"`-]*)(.*?)([.,!?:;'"`-]*)$""")
 
 
 def _tok(s):
     """PTB-approximate tokenization (the reference runs gts/res through
     pycocoevalcap's Java PTBTokenizer before every caption metric,
     score.py:104-109): lowercase, split clitics ("it's" -> "it 's"),
-    separate punctuation, drop the PTB punctuation tokens. Exact for
-    ScanQA's normalized short answers; an approximation of the Stanford
-    tokenizer's full behavior on arbitrary text."""
-    s = _CLITICS.sub(r"\1 \2", s.lower())
-    s = _PUNCT_CHARS.sub(r" \1 ", s)
-    return [t for t in s.split() if t not in _PTB_PUNCT]
+    separate punctuation at TOKEN EDGES only and drop the PTB punctuation
+    tokens. Intra-token punctuation stays intact ("3.5", "l-shaped",
+    "3:30" are single tokens), matching the Stanford tokenizer's handling
+    of decimals/hyphenated words; still an approximation of its full
+    behavior on arbitrary prose."""
+    out = []
+    for t in _CLITICS.sub(r"\1 \2", s.lower()).split():
+        if t in ("n't", "'s", "'re", "'ve", "'ll", "'d", "'m"):
+            out.append(t)  # clitic tokens keep their apostrophe (PTB form)
+            continue
+        m = _EDGES.match(t)
+        for part in m.groups():
+            if part and part not in _PTB_PUNCT:
+                out.append(part)
+    return out
 
 
 # --- BLEU (corpus-level, COCO convention) ---

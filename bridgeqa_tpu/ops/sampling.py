@@ -76,10 +76,18 @@ def _fps_kernel(x_ref, y_ref, z_ref, valid_ref, out_ref, ox_ref, oy_ref, oz_ref,
     npoint = out_ref.shape[1]
     x, y, z = x_ref[:, :], y_ref[:, :], z_ref[:, :]
     valid = valid_ref[:, :] > 0.0
-    # Padding points carry temp = -1 forever: min(-1, d) = -1 (d >= 0), so
-    # they never win the argmax and need no per-iteration `valid` masking —
-    # saves two full-width VPU passes per selection, bitwise-identical
-    # (valid points see the exact same min recurrence; cand == new_temp).
+    # NaN coordinates are always invalid lanes (NaN mag fails the > 1e-3
+    # padding-skip test) but would poison the maskless recurrence below
+    # (min(-1, NaN) = NaN, and argmax treats NaN as the maximum) — zero
+    # them ONCE here; bitwise-free for every NaN-free input.
+    x = jnp.where(jnp.isnan(x), 0.0, x)
+    y = jnp.where(jnp.isnan(y), 0.0, y)
+    z = jnp.where(jnp.isnan(z), 0.0, z)
+    # Padding points carry temp = -1 forever: min(-1, d) = -1 (d >= 0, no
+    # NaNs after the scrub above), so they never win the argmax and need no
+    # per-iteration `valid` masking — saves two full-width VPU passes per
+    # selection, bitwise-identical (valid points see the exact same min
+    # recurrence; cand == new_temp).
     temp_ref[:, :] = jnp.where(valid, INIT_DIST, -1.0)
     out_ref[:, :] = jnp.zeros(out_ref.shape, jnp.int32)
     ox_ref[:, :] = jnp.where(
@@ -156,7 +164,7 @@ def _fps_pallas_bwd(npoint, res, g):
 _fps_pallas.defvjp(_fps_pallas_fwd, _fps_pallas_bwd)
 
 
-def _fps_pallas_impl(xyz: jax.Array, npoint: int):
+def _fps_pallas_impl(xyz: jax.Array, npoint: int, *, interpret: bool = False):
     b, n = xyz.shape[:2]
     xyz = xyz.astype(jnp.float32)
     n_pad = (-n) % 128
@@ -183,6 +191,7 @@ def _fps_pallas_impl(xyz: jax.Array, npoint: int):
         # headroom over the 16 MB scoped-vmem policy default (buffer
         # assignment varies with the surrounding graph, e.g. under scan)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
     )(x, y, z, valid)
     return idx[:b], jnp.stack([ox[:b], oy[:b], oz[:b]], axis=-1)
 

@@ -347,3 +347,19 @@ class TestRougeOracle:
         ref = self._oracle(gts, res)
         assert abs(ours - ref) < 1e-12, (ours, ref)
         assert 0.0 < ours < 1.0
+
+
+class TestPtbTok:
+    def test_ptb_edge_cases(self):
+        """PTB-approx tokenizer: intra-token punctuation (decimals,
+        hyphenated words, times) stays intact like the Stanford tokenizer;
+        edge punctuation separates and drops; clitics keep their PTB form."""
+        from bridgeqa_tpu.eval.scoring import _tok
+
+        assert _tok("3.5 meters") == ["3.5", "meters"]
+        assert _tok("l-shaped couch.") == ["l-shaped", "couch"]
+        assert _tok("3:30") == ["3:30"]
+        assert _tok("it's red,") == ["it", "'s", "red"]
+        assert _tok("The RED chair!") == ["the", "red", "chair"]
+        assert _tok("...") == []
+        assert _tok("wall-mounted tv --") == ["wall-mounted", "tv"]

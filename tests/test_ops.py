@@ -274,3 +274,23 @@ class TestPlaneDense:
         out_t = mlp.apply(v, concat, train=False)
         out_h = mlp.apply(v, feats, planes=planes, train=False)
         np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_h), rtol=1e-5, atol=1e-5)
+
+
+class TestFpsNanRobust:
+    def test_nan_point_never_selected(self, rng):
+        """A NaN-coordinate point (always an invalid lane: NaN magnitude
+        fails the padding-skip test) must not poison the maskless kernel
+        recurrence — kernel (interpret mode) == the reference-semantics
+        single-cloud formulation, and the NaN index never appears."""
+        from bridgeqa_tpu.ops.sampling import _fps_pallas_impl, _fps_single
+
+        xyz = rng.randn(2, 256, 3).astype(np.float32) * 2.0
+        xyz[0, 17, 0] = np.nan   # one corrupted coordinate
+        xyz[1, 200] = np.nan     # fully-NaN point
+        xyz_j = jnp.asarray(xyz)
+        ki, kxyz = _fps_pallas_impl(xyz_j, 32, interpret=True)
+        ref = np.stack([np.asarray(_fps_single(xyz_j[b], 32)) for b in range(2)])
+        np.testing.assert_array_equal(np.asarray(ki), ref)
+        assert 17 not in np.asarray(ki)[0]
+        assert 200 not in np.asarray(ki)[1]
+        assert np.isfinite(np.asarray(kxyz)).all()
