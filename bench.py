@@ -30,6 +30,7 @@ NOTE: on the axon platform ``block_until_ready()`` is a no-op; sync via
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -83,19 +84,44 @@ def vit_flops():
     return BATCH * LAYERS * per_layer
 
 
-def main():
+def main(smoke: bool = False):
+    """Prints the one-line JSON benchmark. ``smoke`` shrinks every dimension
+    to a CPU-runnable config that exercises the IDENTICAL code path (model
+    build, rank scan, all roofline sub-phases, JSON assembly) so the real
+    TPU run can't fail on plumbing — numbers are meaningless in smoke mode."""
+    global BATCH, NUM_POINTS, IMAGE_SIZE, K_TEST, NUM_ANSWERS, ANSWER_LEN, QUESTION_LEN
+
     import jax
     import jax.numpy as jnp
 
     from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
+    from bridgeqa_tpu.models.blip_vqa3d import BlipVQA3DConfig
     from bridgeqa_tpu.models.bridgeqa import BridgeQA, BridgeQAConfig
+    from bridgeqa_tpu.models.med import MedConfig
 
     dc = ScannetDatasetConfig()
     # input_feature_dim=1: the reference eval default (--use_height) feeds
     # xyz + height; the stripe kernel extracts the height channel in its
     # own sweep so the extra channel is ~free (round-3)
-    cfg = BridgeQAConfig(num_answers=NUM_ANSWERS, input_feature_dim=1)
+    if smoke:
+        BATCH, NUM_POINTS, IMAGE_SIZE = 2, 1024, 64
+        K_TEST, NUM_ANSWERS, ANSWER_LEN, QUESTION_LEN = 8, 30, 6, 20
+        med = MedConfig(vocab_size=200, hidden_size=64, num_hidden_layers=2,
+                        num_attention_heads=4, intermediate_size=128,
+                        max_position_embeddings=128, encoder_width=64)
+        blip = BlipVQA3DConfig(med=med, image_size=IMAGE_SIZE, num_answers=NUM_ANSWERS,
+                               vit="custom", vit_custom_embed_dim=64, vit_custom_depth=2,
+                               vit_custom_heads=4, vit_drop_path_rate=0.0, bos_token_id=110)
+        cfg = BridgeQAConfig(num_answers=NUM_ANSWERS, num_proposal=32, hidden_size=32,
+                             blip=blip, mcan_num_layers=1, mcan_flat_out_size=64,
+                             mcan_flat_mlp_size=32, input_feature_dim=1)
+    else:
+        cfg = BridgeQAConfig(num_answers=NUM_ANSWERS, input_feature_dim=1)
     model = BridgeQA(cfg, mean_size_arr=dc.mean_size_arr, dtype=jnp.bfloat16)
+
+    bos_id = cfg.blip.bos_token_id
+    vmax = min(30000, cfg.blip.med.vocab_size - 2)
+    h_model = cfg.blip.med.hidden_size
 
     rng = np.random.RandomState(0)
     pc = (rng.rand(BATCH, NUM_POINTS, 3) - 0.5) * 6.0
@@ -103,17 +129,17 @@ def main():
     batch = dict(
         point_clouds=jnp.asarray(np.concatenate([pc, height], axis=-1), jnp.float32),
         images=jnp.asarray(rng.rand(BATCH, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.float32),
-        question_ids=jnp.asarray(rng.randint(1, 30000, (BATCH, QUESTION_LEN))),
+        question_ids=jnp.asarray(rng.randint(1, vmax, (BATCH, QUESTION_LEN))),
         question_mask=jnp.ones((BATCH, QUESTION_LEN), jnp.int32),
         answer_list_ids=jnp.asarray(
-            np.concatenate([np.full((NUM_ANSWERS, 1), 30522), rng.randint(1, 30000, (NUM_ANSWERS, ANSWER_LEN - 1))],
+            np.concatenate([np.full((NUM_ANSWERS, 1), bos_id), rng.randint(1, vmax, (NUM_ANSWERS, ANSWER_LEN - 1))],
                            axis=1)),
         answer_list_mask=jnp.ones((NUM_ANSWERS, ANSWER_LEN), jnp.int32),
     )
 
     init_batch = dict(batch)
     init_batch.update(
-        answer_ids=jnp.asarray(rng.randint(1, 30000, (BATCH, ANSWER_LEN))),
+        answer_ids=jnp.asarray(rng.randint(1, vmax, (BATCH, ANSWER_LEN))),
         answer_mask=jnp.ones((BATCH, ANSWER_LEN), jnp.int32),
     )
     variables = model.init(
@@ -180,12 +206,12 @@ def main():
         return max((time.perf_counter() - t0 - RPC_FLOOR) / REPS, 1e-9)
 
     # scoring pass: the decoder full-scoring call at the e2e rank shapes
-    ids = jnp.asarray(rng.randint(1, 30000, (BATCH * K_TEST, ANSWER_LEN)))
+    ids = jnp.asarray(rng.randint(1, vmax, (BATCH * K_TEST, ANSWER_LEN)))
     atts = jnp.ones((BATCH * K_TEST, ANSWER_LEN), jnp.int32)
     labels = ids
     qmask = jnp.ones((BATCH, QUESTION_LEN), jnp.int32)
     qs_stack = jnp.asarray(
-        rng.randn(REPS, BATCH, QUESTION_LEN, H).astype(np.float32) * 0.5)
+        rng.randn(REPS, BATCH, QUESTION_LEN, h_model).astype(np.float32) * 0.5)
 
     def scoring_fn(v, qs_i):
         def run(m, qs_i):
@@ -224,7 +250,7 @@ def main():
     mbu_scoring = s_bytes / t_scoring / PEAK_HBM_BYTES
     mfu_vit = vit_flops() / t_vit / PEAK_BF16_FLOPS
 
-    print(json.dumps({
+    payload = {
         "metric": "QA pairs/sec/chip (ScanQA-shape e2e paralleltwin rank inference, "
                   "batch 32, k_test=256, answer_len 12)",
         "value": round(qa_per_sec, 3),
@@ -246,8 +272,11 @@ def main():
                          "(one activation round-trip/layer + weights + head table stream) over "
                          "measured time, vs v5e peaks 197 TFLOP/s bf16 / 819 GB/s; "
                          "one decoder scoring pass at B*k=8192, La=12; ViT-B/480 batch 32",
-    }))
+    }
+    if smoke:
+        payload["smoke"] = True  # tiny CPU plumbing check; numbers meaningless
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
-    main()
+    main(smoke="--smoke" in sys.argv[1:])
