@@ -175,3 +175,60 @@ class TestShardedEval:
             np.argmax(np.asarray(sharded["answer_scores"]), axis=1))
         np.testing.assert_allclose(float(single["loss"]), float(sharded["loss"]),
                                    rtol=1e-6)
+
+
+def test_sharded_parallelshare_train_step():
+    """The parallelshare shared-decoder mode composes with the sharded
+    train step on the 8-device CPU mesh (the remat-wrapped layer takes
+    layernorm_idx as a static arg — this pins the arity across jit/shard
+    boundaries): one step runs, loss finite, the alternate LN bank gets
+    a nonzero gradient."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
+    from bridgeqa_tpu.models.bridgeqa import BridgeQA
+    from bridgeqa_tpu.parallel import make_mesh, shard_batch
+    from bridgeqa_tpu.train.step import StepConfig, TrainState, make_train_step
+    from tests.test_bridgeqa import TINY_BLIP, qa_batch, tiny_cfg
+
+    dc = ScannetDatasetConfig()
+    blip = dataclasses.replace(TINY_BLIP, scene_feature_position="parallelshare")
+    cfg = tiny_cfg(blip=blip)
+    model = BridgeQA(cfg, mean_size_arr=dc.mean_size_arr)
+
+    rng = np.random.RandomState(4)
+    batch = qa_batch(rng, b=8, num_points=1024)
+    batch["lang_len"] = jnp.asarray([10, 12, 9, 11, 8, 12, 10, 7])
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        dict(batch), train=True,
+    )
+    assert "text_decoder_scene" not in variables["params"]["blip_model"]
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    tx = optax.sgd(0.01)
+    # snapshot before the step: make_train_step donates the state buffers
+    l0_scale_before = np.asarray(
+        variables["params"]["blip_model"]["text_decoder"]["bert"]["encoder"]
+        ["layer_0"]["output_LayerNorms_0"]["scale"])
+    state = TrainState.create(variables, tx)
+    train_step = make_train_step(model, dc, tx, StepConfig(loss_weights=None))
+
+    mesh = make_mesh(jax.devices())
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    # the global answer table is eval-only state; the train step shards
+    # only per-sample arrays over the data axis
+    sharded = shard_batch({k: np.asarray(v) for k, v in batch.items()
+                           if not k.startswith("answer_list")}, mesh)
+    new_state, metrics = train_step(state, sharded, jax.random.PRNGKey(1), 0.1)
+    assert np.isfinite(float(metrics["loss"]))
+    l0_new = jax.device_get(new_state.params)["blip_model"]["text_decoder"]["bert"]["encoder"]["layer_0"]
+    delta = np.abs(np.asarray(l0_new["output_LayerNorms_0"]["scale"])
+                   - l0_scale_before).sum()
+    assert delta > 0.0, "alternate LN bank did not train"
