@@ -180,14 +180,19 @@ class BLIPVQA3D(nn.Module):
         return self.visual_encoder(image, deterministic=not train)
 
     def encode_question(self, image_embeds, question_ids, question_mask,
-                        scene_object_embeds, scene_object_mask, *, train: bool = False):
+                        scene_object_embeds, scene_object_mask, *, train: bool = False,
+                        output_attentions: bool = False):
         """Twin encoding of the question against image + scene streams.
 
-        Returns (hidden_2d, hidden_3d) each (B, Lq, H).
+        Returns (hidden_2d, hidden_3d, last_attn) — hiddens (B, Lq, H);
+        ``last_attn`` is the final layer's attention-prob dict
+        (self/cross x 2d/3d, the reference's ``attentions[-1]`` /
+        ``cross_attentions[-1]`` dump at blip_vqa_3d.py:281-282) when
+        ``output_attentions`` else None.
         """
         image_atts = jnp.ones(image_embeds.shape[:2], dtype=jnp.int32)
         scene_embeds = self.linear_scene_object(scene_object_embeds, deterministic=not train)
-        (h2d, h3d), _ = self.text_encoder(
+        (h2d, h3d), last_attn = self.text_encoder(
             question_ids,
             question_mask,
             image_embeds,
@@ -195,8 +200,9 @@ class BLIPVQA3D(nn.Module):
             scene_embeds,
             scene_object_mask,
             deterministic=not train,
+            output_attentions=output_attentions,
         )
-        return h2d, h3d
+        return h2d, h3d, last_attn
 
     def fuse_2d3d(self, h2d, h3d):
         """Low-rank bilinear fusion + stream mean (``blip_vqa_3d.py:502-507``)."""
@@ -210,7 +216,7 @@ class BLIPVQA3D(nn.Module):
         """Training forward (``blip_vqa_3d.py:289-349``): twin encode + both
         decoder LM losses. Returns (loss, fused_hidden, question_mask)."""
         image_embeds = self.encode_image(image, train=train)
-        h2d, h3d = self.encode_question(
+        h2d, h3d, _ = self.encode_question(
             image_embeds, question_ids, question_mask, scene_object_embeds, scene_object_mask, train=train
         )
 
@@ -239,7 +245,7 @@ class BLIPVQA3D(nn.Module):
 
         Returns (scores dict, fused_hidden, question_mask)."""
         image_embeds = self.encode_image(image, train=train)
-        h2d, h3d = self.encode_question(
+        h2d, h3d, _ = self.encode_question(
             image_embeds, question_ids, question_mask, scene_object_embeds, scene_object_mask,
             train=train,
         )
@@ -298,16 +304,21 @@ class BLIPVQA3D(nn.Module):
         return topk_ids, log_probs_sum
 
     def rank(self, image, question_ids, question_mask, answer_ids, answer_mask,
-             scene_object_embeds, scene_object_mask, k_test: int = 128):
+             scene_object_embeds, scene_object_mask, k_test: int = 128,
+             output_attentions: bool = False):
         """Rank-answer inference with the 2D/3D decoder ensemble
         (``blip_vqa_3d.py:437-495``).
 
         Returns (fused_hidden, scores dict, question_mask); scores are over
         the full answer list (A,) per sample, -1e4 for unscored answers.
+        With ``output_attentions``, the scores dict also carries the last
+        twin-encoder layer's attention probs under the reference's dump keys
+        (``2d/3d_self/cross_attention``, blip_vqa_3d.py:281-282).
         """
         image_embeds = self.encode_image(image, train=False)
-        h2d, h3d = self.encode_question(
-            image_embeds, question_ids, question_mask, scene_object_embeds, scene_object_mask, train=False
+        h2d, h3d, last_attn = self.encode_question(
+            image_embeds, question_ids, question_mask, scene_object_embeds, scene_object_mask,
+            train=False, output_attentions=output_attentions,
         )
 
         num_answers = answer_ids.shape[0]
@@ -345,6 +356,11 @@ class BLIPVQA3D(nn.Module):
             "answer_scores_scene": all_3d,
             "answer_scores_2d": all_2d,
         }
+        if last_attn is not None:
+            scores["2d_self_attention"] = last_attn["self_2d"]
+            scores["3d_self_attention"] = last_attn["self_3d"]
+            scores["2d_cross_attention"] = last_attn["cross_2d"]
+            scores["3d_cross_attention"] = last_attn["cross_3d"]
         return fused, scores, question_mask
 
     def generate(self, image, question_ids, question_mask, scene_object_embeds,
@@ -369,7 +385,7 @@ class BLIPVQA3D(nn.Module):
         min_length = min_length if min_length is not None else c.generate_min_length
 
         image_embeds = self.encode_image(image, train=False)
-        h2d, h3d = self.encode_question(
+        h2d, h3d, _ = self.encode_question(
             image_embeds, question_ids, question_mask, scene_object_embeds, scene_object_mask,
             train=False,
         )

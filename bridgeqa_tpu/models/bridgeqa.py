@@ -158,7 +158,8 @@ class BridgeQA(nn.Module):
             self.fusion_norm = McanLayerNorm(c.mcan_flat_out_size, name="fusion_norm")
 
     def __call__(self, batch, *, train: bool, bn_momentum=0.1, inference: str = "rank", k_test: int = 256,
-                 num_beams: int | None = None, max_length: int | None = None):
+                 num_beams: int | None = None, max_length: int | None = None,
+                 output_attentions: bool = False):
         """batch: dict of arrays (see data pipeline). Returns the end_points
         dict with detector outputs + QA heads, mirroring
         ``ScanQA.forward``'s ``data_dict`` keys."""
@@ -178,14 +179,15 @@ class BridgeQA(nn.Module):
         if c.use_blip:
             out.update(self._forward_blip(batch, out, object_feat, object_mask, bbox_mask,
                                           train=train, inference=inference, k_test=k_test,
-                                          num_beams=num_beams, max_length=max_length))
+                                          num_beams=num_beams, max_length=max_length,
+                                          output_attentions=output_attentions))
         else:
             out.update(self._forward_mcan(batch, out, object_feat, object_mask, train=train))
         return out
 
     def _forward_blip(self, batch, det_out, object_feat, object_mask, bbox_mask, *,
                       train: bool, inference: str, k_test: int,
-                      num_beams=None, max_length=None):
+                      num_beams=None, max_length=None, output_attentions: bool = False):
         c = self.cfg
         out = {}
         # scene_feature_type == "full": proposals straight into the adapter
@@ -203,11 +205,14 @@ class BridgeQA(nn.Module):
                 scene_object_embeds, scene_object_mask, train=train,
             )
             out.update(scores)
-        elif train:
+        elif train or inference == "loss":
+            # inference="loss": the train-branch LM loss under eval-mode
+            # BN/dropout (deterministic validation loss; also how the torch
+            # reference behaves under ``model.eval()`` with phase=="train")
             loss, fused_feat, fused_mask = self.blip_model(
                 image, batch["question_ids"], batch["question_mask"],
                 batch["answer_ids"], batch["answer_mask"],
-                scene_object_embeds, scene_object_mask, train=True,
+                scene_object_embeds, scene_object_mask, train=train,
             )
             out["decoder_loss"] = loss
             if "answer_cat_scores" in batch:
@@ -225,9 +230,13 @@ class BridgeQA(nn.Module):
                 image, batch["question_ids"], batch["question_mask"],
                 batch["answer_list_ids"], batch["answer_list_mask"],
                 scene_object_embeds, scene_object_mask, k_test=k_test,
+                output_attentions=output_attentions,
             )
             num_all = c.num_answers
             for key, val in scores.items():
+                if key.endswith("_attention"):  # (B, nh, Lq, Lk) prob dumps
+                    out[key] = val
+                    continue
                 if val.shape[1] < num_all:
                     val = jnp.pad(val, ((0, 0), (0, num_all - val.shape[1])), constant_values=-1e4)
                 out[key] = val

@@ -135,12 +135,30 @@ def convert_detector(sd, prefix=""):
     return params, stats
 
 
+# ScanQA's actual attribute names (qa_module.py:195-215) -> the detector-
+# checkpoint names convert_detector speaks (VoteNet stage-1 convention)
+_SCANQA_DETECTOR_ALIASES = {
+    "detection_backbone.": "backbone_net.",
+    "voting_net.": "vgen.",
+    "proposal_net.": "proposal.",
+}
+
+
 def convert_scanqa(sd, *, image_size: int = 480, vocab_size: int = 30524,
                    share_decoder: bool = False):
     """Full reference ScanQA state dict -> {"params", "batch_stats"} for
     BridgeQA (paralleltwin path). Heads absent from the checkpoint are left
-    out (merge_pretrained keeps their init)."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    out (merge_pretrained keeps their init). Accepts both the ScanQA module
+    names (``detection_backbone/voting_net/proposal_net``, qa_module.py:195)
+    and the bare VoteNet names (``backbone_net/vgen/proposal``)."""
+    renamed = {}
+    for k, v in sd.items():
+        for ref_name, det_name in _SCANQA_DETECTOR_ALIASES.items():
+            if k.startswith(ref_name):
+                k = det_name + k[len(ref_name):]
+                break
+        renamed[k] = v
+    sd = {k: np.asarray(v) for k, v in renamed.items()}
     det_params, det_stats = convert_detector(sd)
     params = {"detector": det_params}
     stats = {"detector": det_stats}

@@ -151,6 +151,128 @@ def install_reference_shims():
         pass
 
 
+def install_pointnet2_ext_oracles():
+    """Populate the ``pointnet2._ext`` stub with CPU implementations whose
+    semantics bitwise-match the reference CUDA kernels
+    (``lib/pointnet2/_ext_src/src/*.cu``), so the reference's OWN
+    ``ScanQA.forward`` can run end-to-end on CPU for full-model goldens.
+
+    All distance math is done in float32 with the kernels' operand order
+    (3-term sequential sums), and selection rules replicate the CUDA scan
+    semantics exactly: FPS padding-skip ``|p|^2 <= 1e-3`` + first-max
+    tiebreak (sampling_gpu.cu:69-229), ball-query first-``nsample``-in-index-
+    order with slot-0 fill (ball_query_gpu.cu:9-54), three_nn stable 3-min
+    ordering (interpolate_gpu.cu:9-68).
+    """
+    import torch
+
+    install_reference_shims()
+    ext = sys.modules["pointnet2._ext"]
+    if getattr(ext, "_oracles_installed", False):
+        return
+
+    def furthest_point_sampling(xyz, npoint):
+        pts_all = xyz.detach().cpu().numpy().astype(np.float32)
+        b, n, _ = pts_all.shape
+        out = np.zeros((b, int(npoint)), dtype=np.int32)
+        for bi in range(b):
+            pts = pts_all[bi]
+            mag = (pts * pts).sum(axis=1, dtype=np.float32)
+            pad = mag <= np.float32(1e-3)
+            temp = np.full(n, 1e10, dtype=np.float32)
+            old = 0
+            for j in range(1, int(npoint)):
+                diff = pts - pts[old]
+                d = (diff * diff).sum(axis=1, dtype=np.float32)
+                d2 = np.minimum(d, temp)
+                temp = np.where(pad, temp, d2)
+                cand = np.where(pad, np.float32(-np.inf), temp)
+                old = int(np.argmax(cand))  # first max == strict-> tiebreak
+                out[bi, j] = old
+        return torch.from_numpy(out)
+
+    def ball_query(new_xyz, xyz, radius, nsample):
+        nq = new_xyz.detach().cpu().numpy().astype(np.float32)
+        pts = xyz.detach().cpu().numpy().astype(np.float32)
+        b, m, _ = nq.shape
+        n = pts.shape[1]
+        r2 = np.float32(radius) * np.float32(radius)
+        nsample = int(nsample)
+        out = np.zeros((b, m, nsample), dtype=np.int32)
+        arange = np.arange(n, dtype=np.int64)
+        for bi in range(b):
+            diff = nq[bi][:, None, :] - pts[bi][None, :, :]
+            d2 = (diff * diff).sum(axis=-1, dtype=np.float32)  # (m, n)
+            hit = d2 < r2
+            order = np.where(hit, arange[None, :], n)
+            srt = np.sort(order, axis=-1)[:, :nsample]
+            first = srt[:, :1]
+            row = np.where(srt >= n, first, srt)
+            row = np.where(first >= n, 0, row)
+            out[bi] = row.astype(np.int32)
+        return torch.from_numpy(out)
+
+    def three_nn(unknown, known):
+        unk = unknown.detach().cpu().numpy().astype(np.float32)
+        kn = known.detach().cpu().numpy().astype(np.float32)
+        diff = unk[:, :, None, :] - kn[:, None, :, :]
+        d2 = (diff * diff).sum(axis=-1, dtype=np.float32)  # (B, n, m)
+        idx = np.argsort(d2, axis=-1, kind="stable")[..., :3]
+        dist2 = np.take_along_axis(d2, idx, axis=-1)
+        return (torch.from_numpy(dist2.astype(np.float32)),
+                torch.from_numpy(idx.astype(np.int32)))
+
+    def gather_points(points, idx):
+        c = points.shape[1]
+        gather_idx = idx.long().unsqueeze(1).expand(-1, c, -1)
+        return points.gather(2, gather_idx).contiguous()
+
+    def gather_points_grad(grad_out, idx, n):
+        b, c, m = grad_out.shape
+        grad = grad_out.new_zeros(b, c, n)
+        grad.scatter_add_(2, idx.long().unsqueeze(1).expand(-1, c, -1), grad_out)
+        return grad
+
+    def group_points(points, idx):
+        b, c, n = points.shape
+        _, m, s = idx.shape
+        flat = idx.long().view(b, 1, m * s).expand(-1, c, -1)
+        return points.gather(2, flat).view(b, c, m, s).contiguous()
+
+    def group_points_grad(grad_out, idx, n):
+        b, c, m, s = grad_out.shape
+        grad = grad_out.new_zeros(b, c, n)
+        flat = idx.long().view(b, 1, m * s).expand(-1, c, -1)
+        grad.scatter_add_(2, flat, grad_out.reshape(b, c, m * s))
+        return grad
+
+    def three_interpolate(points, idx, weight):
+        b, c, _ = points.shape
+        n = idx.shape[1]
+        flat = idx.long().view(b, 1, n * 3).expand(-1, c, -1)
+        gathered = points.gather(2, flat).view(b, c, n, 3)
+        return (gathered * weight.unsqueeze(1)).sum(-1).contiguous()
+
+    def three_interpolate_grad(grad_out, idx, weight, m):
+        b, c, n = grad_out.shape
+        weighted = grad_out.unsqueeze(-1) * weight.unsqueeze(1)  # (B,C,n,3)
+        flat = idx.long().view(b, 1, n * 3).expand(-1, c, -1)
+        grad = grad_out.new_zeros(b, c, m)
+        grad.scatter_add_(2, flat, weighted.reshape(b, c, n * 3))
+        return grad
+
+    ext.furthest_point_sampling = furthest_point_sampling
+    ext.ball_query = ball_query
+    ext.three_nn = three_nn
+    ext.gather_points = gather_points
+    ext.gather_points_grad = gather_points_grad
+    ext.group_points = group_points
+    ext.group_points_grad = group_points_grad
+    ext.three_interpolate = three_interpolate
+    ext.three_interpolate_grad = three_interpolate_grad
+    ext._oracles_installed = True
+
+
 def import_ref_dataset():
     """Import ``lib.dataset`` despite its module-level reads of absent data
     files (scannetv2.txt scene lists, incl. one hardcoded absolute path)."""
