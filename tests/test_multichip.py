@@ -232,3 +232,78 @@ def test_sharded_parallelshare_train_step():
     delta = np.abs(np.asarray(l0_new["output_LayerNorms_0"]["scale"])
                    - l0_scale_before).sum()
     assert delta > 0.0, "alternate LN bank did not train"
+
+
+class TestShardedFusedEval:
+    """The FUSED inference program (Pallas scoring megakernel + fused ViT
+    blocks, interpret mode off-TPU) deployed over the 8-device CPU mesh via
+    ``parallel.eval.make_sharded_eval_step``. GSPMD treats ``pallas_call``
+    as opaque (it would replicate operands), so the sharded deployment of
+    the benched rank path needs shard_map — this pins that wrapper against
+    single-device fused execution (round-3 verdict item 3)."""
+
+    def _fused_cfg(self):
+        import dataclasses
+
+        from tests.test_bridgeqa import TINY_BLIP, TINY_MED, tiny_cfg
+
+        med = dataclasses.replace(
+            TINY_MED, hidden_size=128, encoder_width=128, intermediate_size=256,
+            fused_scoring="force")
+        blip = dataclasses.replace(
+            TINY_BLIP, med=med, vit_custom_embed_dim=128, scene_size=32)
+        return tiny_cfg(blip=blip)
+
+    def test_sharded_fused_matches_single_device(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from bridgeqa_tpu.data.scannet_config import ScannetDatasetConfig
+        from bridgeqa_tpu.models.bridgeqa import BridgeQA
+        from bridgeqa_tpu.ops import vit_block as vb
+        from bridgeqa_tpu.parallel import make_mesh, shard_batch
+        from bridgeqa_tpu.parallel.eval import make_sharded_eval_step
+        from bridgeqa_tpu.train.step import StepConfig, TrainState, make_eval_step
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tests.test_bridgeqa import qa_batch
+
+        monkeypatch.setattr(vb, "FUSED_MODE", "force")
+
+        dc = ScannetDatasetConfig()
+        cfg = self._fused_cfg()
+        model = BridgeQA(cfg, mean_size_arr=dc.mean_size_arr)
+
+        rng = np.random.RandomState(5)
+        batch = qa_batch(rng, b=8, num_points=1024)
+        batch["lang_len"] = jnp.asarray([10, 12, 9, 11, 8, 12, 10, 7])
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            dict(batch), train=True,
+        )
+        variables = {"params": variables["params"],
+                     "batch_stats": variables.get("batch_stats", {})}
+        state = TrainState.create(variables, optax.sgd(0.1))
+        step_cfg = StepConfig(loss_weights=None)
+
+        single = make_eval_step(model, dc, step_cfg, k_test=8)(state, batch)
+
+        mesh = make_mesh(jax.devices())
+        sharded_step = make_sharded_eval_step(model, dc, step_cfg, mesh, k_test=8)
+        state_r = jax.device_put(state, NamedSharding(mesh, P()))
+        np_batch = {k: np.asarray(v) for k, v in batch.items()}
+        table = {k: jax.device_put(np_batch.pop(k), NamedSharding(mesh, P()))
+                 for k in ("answer_list_ids", "answer_list_mask")}
+        sharded_batch = dict(shard_batch(np_batch, mesh), **table)
+        sharded = sharded_step(state_r, sharded_batch)
+
+        for key in ("answer_scores", "answer_scores_scene", "answer_scores_2d",
+                    "cluster_ref", "lang_scores", "objectness_scores"):
+            np.testing.assert_allclose(
+                np.asarray(single[key]), np.asarray(sharded[key]),
+                rtol=1e-5, atol=1e-6, err_msg=key)
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(single["answer_scores"]), axis=1),
+            np.argmax(np.asarray(sharded["answer_scores"]), axis=1))
+        np.testing.assert_allclose(float(single["loss"]), float(sharded["loss"]),
+                                   rtol=1e-5)
