@@ -41,6 +41,10 @@ def parse_args(argv=None):
                         "(reference predict.py's open-ended generation path)")
     p.add_argument("--num_beams", type=int, default=5)
     p.add_argument("--gen_max_length", type=int, default=20)
+    p.add_argument("--output_attention", action="store_true",
+                   help="dump the last twin-encoder layer's 2d/3d self/cross "
+                        "attention probs per sample (reference "
+                        "predict.py:359-365)")
     return p.parse_args(argv)
 
 
@@ -80,9 +84,13 @@ def main(argv=None):
     ids, mask = make_answer_list(tokenizer, answer_cands, args.answer_len)
     answer_list = {"answer_list_ids": ids, "answer_list_mask": mask}
 
+    ATTN_KEYS = ("2d_self_attention", "3d_self_attention",
+                 "2d_cross_attention", "3d_cross_attention")
+
     @jax.jit
     def infer(batch):
-        out = model.apply(variables, batch, train=False, inference="rank", k_test=args.k_test)
+        out = model.apply(variables, batch, train=False, inference="rank", k_test=args.k_test,
+                          output_attentions=cli.output_attention)
         # objectness-masked grounding + on-device NMS suppression
         dev = parse_predictions_device(
             out["center"], out["heading_scores"], out["heading_residuals"],
@@ -97,7 +105,8 @@ def main(argv=None):
         corners = jnp.take_along_axis(out["bbox_corner"], grounded[:, None, None, None]
                                       .repeat(8, 2).repeat(3, 3), axis=1)[:, 0]
         top10 = jnp.argsort(-out["answer_scores"], axis=1)[:, :10]
-        return top10, corners, out["answer_scores"]
+        attn = {k: out[k] for k in ATTN_KEYS if k in out}
+        return top10, corners, out["answer_scores"], attn
 
     generate = None
     if cli.open_ended:
@@ -112,7 +121,7 @@ def main(argv=None):
     for batch in loader:
         arrays = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
         arrays.update({k: jnp.asarray(v) for k, v in answer_list.items()})
-        top10, corners, _ = jax.device_get(infer(arrays))
+        top10, corners, _, attn = jax.device_get(infer(arrays))
         gen_texts = None
         if generate is not None:
             gen_ids = np.asarray(jax.device_get(generate(arrays)))
@@ -127,6 +136,8 @@ def main(argv=None):
             }
             if gen_texts is not None:
                 rec["open_ended_answer"] = gen_texts[i]
+            for k, v in attn.items():  # reference predict.py:359-365
+                rec[k] = np.asarray(v[i]).tolist()
             preds.append(rec)
 
     out_path = os.path.join(cli.run_dir, f"pred.{cli.split}.json")

@@ -108,8 +108,8 @@ class TestBlipVQA3D:
                                          scene, batch["scene_object_mask"])
             return model.apply(variables, method=fn)
 
-        h2d_a, h3d_a = encode(batch["scene_object_embeds"])
-        h2d_b, h3d_b = encode(batch["scene_object_embeds"] + 1.0)
+        h2d_a, h3d_a, _ = encode(batch["scene_object_embeds"])
+        h2d_b, h3d_b, _ = encode(batch["scene_object_embeds"] + 1.0)
         assert not np.allclose(np.asarray(h2d_a), np.asarray(h2d_b)), \
             "2D stream ignored the scene stream — twin exchange broken"
         assert not np.allclose(np.asarray(h3d_a), np.asarray(h3d_b))

@@ -96,6 +96,32 @@ class TestBlipPath:
         assert out["answer_scores_2d"].shape == (2, 30)
         assert jnp.isfinite(out["answer_scores"]).all()
         assert out["cluster_ref"].shape == (2, 32)
+        assert "2d_self_attention" not in out  # opt-in only
+
+    def test_rank_output_attentions(self, batch, model_vars):
+        """--output_attention dump: last twin-encoder layer's attention probs
+        under the reference's keys (predict.py:359-365). Self attention is
+        (B, nh, Lq, Lq); cross is (B, nh, Lq, L_img/scene + Lq); every row is
+        a softmax distribution."""
+        model, variables = model_vars
+        out = model.apply(variables, batch, train=False, inference="rank", k_test=8,
+                          output_attentions=True)
+        b, nh = 2, TINY_MED.num_attention_heads
+        lq = batch["question_ids"].shape[1]
+        n_img = (TINY_BLIP.image_size // 16) ** 2 + 1
+        n_scene = 32  # num_proposal
+        assert out["2d_self_attention"].shape == (b, nh, lq, lq)
+        assert out["3d_self_attention"].shape == (b, nh, lq, lq)
+        assert out["2d_cross_attention"].shape == (b, nh, lq, n_img + lq)
+        assert out["3d_cross_attention"].shape == (b, nh, lq, n_scene + lq)
+        for k in ("2d_self_attention", "3d_self_attention",
+                  "2d_cross_attention", "3d_cross_attention"):
+            probs = np.asarray(out[k], np.float32)
+            np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=2e-5)
+        # rank scores unchanged by the dump
+        base = model.apply(variables, batch, train=False, inference="rank", k_test=8)
+        np.testing.assert_allclose(np.asarray(out["answer_scores"]),
+                                   np.asarray(base["answer_scores"]), rtol=1e-6)
 
 
 class TestMcanPath:
