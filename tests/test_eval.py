@@ -103,14 +103,9 @@ class TestScoring:
         assert out["EM@1 Color"] == 100.0
 
 
-class TestQAEval:
-    def test_get_eval_on_synthetic(self):
-        import jax
-        from bridgeqa_tpu.eval.qa_eval import get_eval
-
-        b, k, k2, a = 2, 8, 4, 10
-        rng = np.random.RandomState(0)
-        ep = {
+def _synthetic_eval_ep(b=2, k=8, k2=4, a=10, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
             "objectness_scores": jnp.asarray(rng.randn(b, k, 2), jnp.float32),
             "objectness_label": jnp.asarray(rng.randint(0, 2, (b, k))),
             "objectness_mask": jnp.ones((b, k), jnp.float32),
@@ -134,7 +129,16 @@ class TestQAEval:
             "lang_scores": jnp.asarray(rng.randn(b, 18), jnp.float32),
             "answer_scores": jnp.asarray(rng.randn(b, a), jnp.float32),
             "answer_cats": jnp.asarray(np.eye(a)[rng.randint(0, a, b)], jnp.float32),
+            "num_bbox": jnp.full((b,), k2, jnp.int32),
         }
+
+
+class TestQAEval:
+    def test_get_eval_on_synthetic(self):
+        from bridgeqa_tpu.eval.qa_eval import get_eval
+
+        b, a = 2, 10
+        ep = _synthetic_eval_ep(b=b, a=a)
         out = get_eval(dict(ep), DC, use_lang_classifier=True)
         for key in ("ref_acc_mean", "ref_iou_rate_0.25", "ref_iou_rate_0.5", "lang_acc",
                     "answer_acc_at1", "answer_acc_at10", "obj_acc", "sem_acc"):
@@ -142,6 +146,76 @@ class TestQAEval:
             assert np.isfinite(v).all(), key
             assert (0 <= v).all() and (v <= 1).all(), key
         assert out["ref_iou"].shape == (b,)
+        assert out["pred_answers_at10"].shape == (b, 10)
+        # row 0 of the top-10 is the argmax prediction
+        np.testing.assert_array_equal(
+            np.asarray(out["pred_answers_at10"])[:, 0],
+            np.argmax(np.asarray(ep["answer_scores"]), axis=1))
+
+    def test_use_best(self):
+        """eval_helper.py:97-100: grounding by the GT cluster label — with
+        matching GT box labels the referenced IoU becomes exact 1."""
+        from bridgeqa_tpu.eval.qa_eval import get_eval
+
+        ep = _synthetic_eval_ep()
+        # make cluster GT point at assignment rows whose box == the ref box
+        gt_ref = np.argmax(np.asarray(ep["ref_box_label"]), 1)
+        assign = np.asarray(ep["object_assignment"])
+        b, k = assign.shape
+        cluster_labels = np.zeros((b, k), np.float32)
+        for i in range(b):
+            cols = np.where(assign[i] == gt_ref[i])[0]
+            assert cols.size, "fixture needs an assignable proposal"
+            cluster_labels[i, cols[0]] = 1.0
+        ep["cluster_labels"] = jnp.asarray(cluster_labels)
+        out = get_eval(dict(ep), DC, use_oracle=True, use_best=True)
+        np.testing.assert_allclose(np.asarray(out["ref_iou"]), 1.0, rtol=1e-5)
+        # cluster_ref is replaced by the labels (reference line 100)
+        np.testing.assert_array_equal(np.asarray(out["cluster_ref"]), cluster_labels)
+
+    def test_use_oracle(self):
+        """eval_helper.py:126-138: predicted box params swapped for the GT
+        params gathered through object_assignment; grounding unchanged."""
+        from bridgeqa_tpu.eval.qa_eval import get_eval
+
+        ep = _synthetic_eval_ep()
+        out = get_eval(dict(ep), DC, use_oracle=True)
+        base = get_eval(dict(ep), DC)
+        # same referenced proposal, different box -> IoU vs the GT box of the
+        # ASSIGNED object; oracle IoU >= predicted-head IoU in expectation,
+        # and the pred box equals the gt box whenever assignment == gt_ref
+        pred_ref = np.argmax(np.asarray(ep["cluster_ref"])
+                             * (np.argmax(np.asarray(ep["objectness_scores"]), 2) == 1), 1)
+        assign = np.asarray(ep["object_assignment"])
+        gt_ref = np.argmax(np.asarray(ep["ref_box_label"]), 1)
+        for i in range(len(pred_ref)):
+            if assign[i, pred_ref[i]] == gt_ref[i]:
+                assert np.asarray(out["ref_iou"])[i] == pytest.approx(1.0, rel=1e-5)
+        assert out["ref_iou"].shape == base["ref_iou"].shape
+
+    def test_use_cat_rand(self):
+        """eval_helper.py:101-120: the grounded proposal is a random one whose
+        assigned semantic class matches object_cat."""
+        import jax
+
+        from bridgeqa_tpu.eval.qa_eval import get_eval
+
+        ep = _synthetic_eval_ep()
+        # two semantic classes; ask for class 1
+        rng = np.random.RandomState(3)
+        sem = rng.randint(0, 2, np.asarray(ep["sem_cls_label"]).shape)
+        ep["sem_cls_label"] = jnp.asarray(sem, jnp.int32)
+        ep["object_cat"] = jnp.ones((2,), jnp.int32)
+        assign = np.asarray(ep["object_assignment"])
+        candidate = sem[np.arange(2)[:, None], assign] == 1
+        assert candidate.any(1).all(), "fixture needs candidates"
+        for seed in range(5):
+            out = get_eval(dict(ep), DC, use_cat_rand=True, rng=jax.random.PRNGKey(seed))
+            chosen = np.argmax(np.asarray(out["cluster_ref"]), 1)
+            for i in range(2):
+                assert candidate[i, chosen[i]], (seed, i, chosen)
+        with pytest.raises(ValueError):
+            get_eval(dict(ep), DC, use_cat_rand=True)
 
 
 class TestMeteorVsNltk:
