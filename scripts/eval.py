@@ -5,11 +5,19 @@ Equivalent of the reference ``scripts/eval.py`` (``eval_qa`` 264-440,
 EM@1/EM@10, grounding IoU rates, objectness/semantic accuracy, and
 AP@0.25/0.5 through the APCalculator. Metric math runs on-device; only AP's
 variable-length per-scan lists are host-side.
+
+Alongside the aggregate ``score.<split>.json`` this writes the reference's
+per-sample artifacts (``eval.py:301-303,383-420``): ``pred.<split>.pkl``
+({scene_id: {question_id: {pred_bbox, gt_bbox, iou, pred_answers_at10}}}),
+its flattened ``pred.<split>.pkl.json`` conversion, and
+``score.<split>.pkl`` (per-batch metric lists per trial) — schema-compatible
+with the reference's downstream consumers and ``verify_parity.py`` diffing.
 """
 
 import argparse
 import json
 import os
+import pickle
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -90,12 +98,39 @@ def main(argv=None):
     ap25 = APCalculator(0.25, dc.class2type)
     ap50 = APCalculator(0.5, dc.class2type)
 
+    # per-sample records + per-batch metric lists (reference eval.py:318-420)
+    predictions = {}
+    batch_lists = {"ref_acc": [], "lang_acc": [], "answer_acc_at1": [],
+                   "answer_acc_at10": [], "ious": []}
+
     for batch in loader:
         arrays = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
         arrays.update(extra)
         end_points = eval_step(arrays)
         if cli.qa:
             agg.update(jax.device_get({k: end_points[k] for k in SCALAR_KEYS if k in end_points}))
+            per = jax.device_get({k: end_points[k] for k in
+                                  ("ref_acc", "ref_iou", "pred_bboxes", "gt_bboxes",
+                                   "pred_answers_at10", "lang_acc",
+                                   "answer_acc_at1", "answer_acc_at10")
+                                  if k in end_points})
+            batch_lists["ref_acc"] += np.asarray(per["ref_acc"]).tolist()
+            batch_lists["ious"] += np.asarray(per["ref_iou"]).tolist()
+            if "lang_acc" in per:
+                batch_lists["lang_acc"].append(float(per["lang_acc"]))
+            batch_lists["answer_acc_at1"].append(float(per["answer_acc_at1"]))
+            batch_lists["answer_acc_at10"].append(float(per["answer_acc_at10"]))
+            for i in range(len(batch["question_id_str"])):
+                scene_id = batch["scene_id_str"][i]
+                qid = batch["question_id_str"][i]
+                rec = predictions.setdefault(scene_id, {}).setdefault(qid, {})
+                rec["pred_bbox"] = np.asarray(per["pred_bboxes"][i])
+                rec["gt_bbox"] = np.asarray(per["gt_bboxes"][i])
+                rec["iou"] = float(per["ref_iou"][i])
+                if "pred_answers_at10" in per:
+                    rec["pred_answers_at10"] = [
+                        answer_cands[j] if j < len(answer_cands) else "<pad>"
+                        for j in np.asarray(per["pred_answers_at10"][i])]
         if cli.detection:
             cfg_dict = {"dataset_config": dc, "nms_iou": cli.nms_iou}
             # parse_* expect host-accessible arrays
@@ -109,6 +144,24 @@ def main(argv=None):
     results = {}
     if cli.qa:
         results["qa"] = agg.means()
+        # reference eval.py:301-303,383-420: per-sample pkl + json conversion
+        pred_path = os.path.join(cli.run_dir, f"pred.{cli.split}.pkl")
+        with open(pred_path, "wb") as f:
+            pickle.dump(predictions, f)
+        conved = []
+        for scene_id, scene in predictions.items():
+            for qid, inst in scene.items():
+                inst = {k: v.tolist() if isinstance(v, np.ndarray) else v
+                        for k, v in inst.items()}
+                inst.update({"scene_id": scene_id, "question_id": qid})
+                inst["answer_top10"] = inst.pop("pred_answers_at10", [])
+                inst["bbox"] = inst.pop("pred_bbox")
+                conved.append(inst)
+        with open(pred_path + ".json", "w") as f:
+            json.dump(conved, f)
+        with open(os.path.join(cli.run_dir, f"score.{cli.split}.pkl"), "wb") as f:
+            # one trial (the reference stacks trials for --repeat)
+            pickle.dump({k: [v] for k, v in batch_lists.items()}, f)
     if cli.detection:
         for name, calc in (("mAP@0.25", ap25), ("mAP@0.5", ap50)):
             m = calc.compute_metrics()

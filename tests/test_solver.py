@@ -133,3 +133,25 @@ class TestEvalDriver:
         for v in results["qa"].values():
             assert np.isfinite(v)
         assert np.isfinite(results["mAP@0.25"].get("mAP", 0.0))
+
+        # per-sample artifacts (reference eval.py:301-303,383-420)
+        import pickle
+
+        with open(os.path.join(run, "pred.val.pkl"), "rb") as f:
+            predictions = pickle.load(f)
+        assert predictions
+        scene = next(iter(predictions.values()))
+        rec = next(iter(scene.values()))
+        assert set(rec) >= {"pred_bbox", "gt_bbox", "iou", "pred_answers_at10"}
+        assert np.asarray(rec["pred_bbox"]).shape == (8, 3)
+        assert 1 <= len(rec["pred_answers_at10"]) <= 10  # min(10, |vocab|)
+        with open(os.path.join(run, "score.val.pkl"), "rb") as f:
+            scores = pickle.load(f)
+        assert set(scores) == {"ref_acc", "lang_acc", "answer_acc_at1",
+                               "answer_acc_at10", "ious"}
+        n_samples = sum(len(s) for s in predictions.values())
+        assert len(scores["ious"][0]) == n_samples
+        with open(os.path.join(run, "pred.val.pkl.json")) as f:
+            conved = json.load(f)
+        assert len(conved) == n_samples
+        assert set(conved[0]) >= {"scene_id", "question_id", "answer_top10", "bbox", "iou"}
