@@ -23,7 +23,9 @@ def test_bench_smoke_prints_one_json_line():
     assert len(lines) == 1, lines
     payload = json.loads(lines[0])
     for key in ("metric", "value", "unit", "vs_baseline", "scoring_pass_ms",
-                "vit_ms", "detector_ms", "mfu_scoring", "mbu_scoring", "mfu_vit"):
+                "vit_ms", "detector_ms", "mfu_scoring", "mbu_scoring", "mfu_vit",
+                "train_step_ms", "train_samples_per_sec"):
         assert key in payload, key
+    assert payload["train_samples_per_sec"] > 0
     assert payload["smoke"] is True
     assert payload["value"] > 0
