@@ -32,6 +32,7 @@ NOTE: on the axon platform ``block_until_ready()`` is a no-op; sync via
 import json
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -285,6 +286,15 @@ def main(smoke: bool = False):
         ref_obj_mask=jnp.ones((tb,), jnp.int32),
         object_cat=jnp.asarray(rng.randint(0, 18, (tb,)), jnp.int32),
     )
+    # Train under remat like the reference: its ViT blocks run inside
+    # fairscale checkpoint_wrapper (models/vit.py:180-190), trading recompute
+    # for activation memory. Without remat the batch-16 backward's saved
+    # (B, 12, 901, 901) ViT attention probs alone blow the 16G HBM.
+    # remat does not change the param tree (tests/test_remat.py).
+    import dataclasses as _dc
+    train_cfg = _dc.replace(
+        cfg, blip=_dc.replace(cfg.blip, remat=True, remat_mode="block"))
+    train_model = BridgeQA(train_cfg, mean_size_arr=dc.mean_size_arr, dtype=jnp.bfloat16)
     tx, _ = build_optimizer(variables["params"], OptimConfig())
     t_state = TrainState.create(variables, tx)
     step_cfg = StepConfig()
@@ -293,19 +303,24 @@ def main(smoke: bool = False):
         [tr_pc + 1e-3 * (i + 1) for i in range(REPS)]), jnp.float32)
     tr_rngs = jax.random.split(jax.random.PRNGKey(7), REPS)
 
-    @jax.jit
+    # Donating the state is what makes batch 16 fit: without it the f32
+    # params + both AdamW moments (~7G) are double-buffered as arguments
+    # AND fresh outputs (the production step donates too, train/step.py:93).
+    @partial(jax.jit, donate_argnums=(0,))
     def train_scan(state, batch, pcs, rngs):
         def body(carry, x):
             pc_i, rng_i = x
             b = dict(batch, point_clouds=pc_i)
-            new_state, metrics = train_body(model, dc, tx, step_cfg, carry, b, rng_i, 0.1)
+            new_state, metrics = train_body(train_model, dc, tx, step_cfg, carry, b, rng_i, 0.1)
             return new_state, metrics["loss"]
         state, losses = jax.lax.scan(body, state, (tr_pcs, rngs))
-        return jnp.sum(losses)
+        return state, jnp.sum(losses)
 
-    _ = np.asarray(train_scan(t_state, tr_batch, tr_pcs, tr_rngs))  # compile
+    t_state, l0 = train_scan(t_state, tr_batch, tr_pcs, tr_rngs)  # compile
+    _ = np.asarray(l0)
     t0 = time.perf_counter()
-    _ = np.asarray(train_scan(t_state, tr_batch, tr_pcs, tr_rngs))
+    t_state, l1 = train_scan(t_state, tr_batch, tr_pcs, tr_rngs)
+    _ = np.asarray(l1)
     t_train = max((time.perf_counter() - t0 - RPC_FLOOR) / REPS, 1e-9)
     train_samples_per_sec = tb / t_train
 
@@ -330,7 +345,9 @@ def main(smoke: bool = False):
         "train_step_ms": round(t_train * 1e3, 1),
         "train_samples_per_sec": round(train_samples_per_sec, 2),
         "train_note": f"full train step (fwd+loss+grads+AdamW groups) at the reference's own "
-                      f"batch {TRAIN_BATCH} (scripts/train.py:47), 40k points, bf16 compute; "
+                      f"batch {TRAIN_BATCH} (scripts/train.py:47), 40k points, bf16 compute, "
+                      "ViT/BERT remat (reference trains its ViT under fairscale "
+                      "checkpoint_wrapper, models/vit.py:180-190); "
                       "scanned 4 perturbed batches in one jit minus the dispatch floor",
         "roofline_note": "mfu/mbu = analytic GEMM FLOPs (2MNK summed) and fused-path HBM bytes "
                          "(one activation round-trip/layer + weights + head table stream) over "

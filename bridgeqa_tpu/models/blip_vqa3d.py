@@ -66,6 +66,7 @@ class BlipVQA3DConfig:
     generate_max_length: int = 20
     generate_min_length: int = 1
     remat: bool = False  # rematerialize ViT blocks + BERT layers (training memory)
+    remat_mode: str = "block"  # "block" = whole layer; "attn" = only attention matrices
 
 
 class MlpAdapter(nn.Module):
@@ -114,11 +115,11 @@ class BLIPVQA3D(nn.Module):
         if c.encoder_layers is not None:
             med = dataclasses.replace(med, num_hidden_layers=c.encoder_layers)
         if c.remat:
-            med = dataclasses.replace(med, remat=True)
+            med = dataclasses.replace(med, remat=True, remat_mode=c.remat_mode)
         self.visual_encoder, vision_width = create_vit(
             c.vit, c.image_size, drop_path_rate=c.vit_drop_path_rate, dtype=self.dtype,
             custom_embed_dim=c.vit_custom_embed_dim, custom_depth=c.vit_custom_depth,
-            custom_heads=c.vit_custom_heads, remat=c.remat,
+            custom_heads=c.vit_custom_heads, remat=c.remat, remat_mode=c.remat_mode,
         )
         if vision_width != med.hidden_size:
             raise ValueError(

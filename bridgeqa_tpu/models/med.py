@@ -27,6 +27,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 NEG_INF = -10000.0  # HF additive-mask constant
 
@@ -56,6 +57,13 @@ class MedConfig:
     # (0 = the stock one, 1.. = the extras). The reference hardcodes one.
     parallel_layernorms: int = 0
     remat: bool = False  # rematerialize each layer (training memory)
+    # "block": recompute the whole layer in the backward (default; matches
+    #          the reference's checkpoint_wrapper granularity);
+    # "attn": recompute only the (B, nh, Lq, Lk) attention scores/probs
+    #         (the twin encoder's cross-attention keys span 901 image
+    #         tokens) and save every other activation — chip-measured OOM
+    #         at train batch 16 on a 16G v5e, opt-in for smaller batches.
+    remat_mode: str = "block"
     # Fused Pallas answer-scoring path (whole-layer megakernel + streaming
     # vocab loss): "auto" = on TPU only, "force" = also off-TPU via the
     # Pallas interpreter (tests), "off" = always the XLA module path.
@@ -171,7 +179,9 @@ class BertSelfAttention(nn.Module):
             scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
             if attention_bias is not None:  # (kb, 1, 1, lk) question padding bias
                 scores = scores + attention_bias.astype(scores.dtype)
+            scores = checkpoint_name(scores, "bert_attn_scores")
             probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+            probs = checkpoint_name(probs, "bert_attn_probs")
             probs_d = self.prob_dropout(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_d, v)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, h)
@@ -199,7 +209,9 @@ class BertSelfAttention(nn.Module):
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
         if attention_bias is not None:
             scores = scores + attention_bias.astype(scores.dtype)
+        scores = checkpoint_name(scores, "bert_attn_scores")
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        probs = checkpoint_name(probs, "bert_attn_probs")
         probs_d = self.prob_dropout(probs, deterministic=deterministic)
 
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_d, v)
@@ -315,6 +327,10 @@ class BertLayer(nn.Module):
 def _layer_cls(config: MedConfig):
     """BertLayer, optionally remat-wrapped (deterministic/multimodal/
     layernorm_idx static)."""
+    if config.remat and config.remat_mode == "attn":
+        policy = jax.checkpoint_policies.save_anything_except_these_names(
+            "bert_attn_scores", "bert_attn_probs")
+        return nn.remat(BertLayer, static_argnums=(5, 6, 7), policy=policy)
     if config.remat:
         return nn.remat(BertLayer, static_argnums=(5, 6, 7))
     return BertLayer

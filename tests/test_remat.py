@@ -11,7 +11,11 @@ from bridgeqa_tpu.models.blip_vqa3d import BLIPVQA3D
 from tests.test_blip import TINY_CFG
 
 
-def test_remat_forward_and_grad_identical():
+import pytest
+
+
+@pytest.mark.parametrize("remat_mode", ["block", "attn"])
+def test_remat_forward_and_grad_identical(remat_mode):
     rng = np.random.RandomState(0)
     b, lq, la, n_obj = 2, 8, 5, 4
     args = (jnp.asarray(rng.rand(b, 32, 32, 3), jnp.float32),
@@ -20,7 +24,7 @@ def test_remat_forward_and_grad_identical():
             jnp.asarray(rng.rand(b, n_obj, 16), jnp.float32), jnp.ones((b, n_obj), jnp.int32))
 
     base = BLIPVQA3D(TINY_CFG)
-    remat = BLIPVQA3D(dataclasses.replace(TINY_CFG, remat=True))
+    remat = BLIPVQA3D(dataclasses.replace(TINY_CFG, remat=True, remat_mode=remat_mode))
     variables = base.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
                           *args, train=False)
 
