@@ -153,42 +153,45 @@ def main():
                                  for i in range(REPS)]), jnp.float32)
     rngs = jax.random.split(jax.random.PRNGKey(7), REPS)
 
-    def timed(make_run, xs, label=""):
-        """Compile + steady-state time of a jitted scan over perturbed xs."""
+    def timed(make_run, operands, xs, label=""):
+        """Compile + steady-state time of a jitted scan over perturbed xs.
+
+        ``operands`` (params / state trees) are passed as jit ARGUMENTS —
+        closing over them would bake multi-GB constants into every phase's
+        lowering (observed: 7.5G captured constants, compile never finished).
+        """
         run = jax.jit(make_run)
         t0 = time.perf_counter()
-        _ = np.asarray(run(xs))  # compile + warm
+        _ = np.asarray(run(operands, xs))  # compile + warm
         print(f"# {label}: compiled+warm in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
         t0 = time.perf_counter()
-        _ = np.asarray(run(xs))
+        _ = np.asarray(run(operands, xs))
         return max((time.perf_counter() - t0 - RPC_FLOOR) / REPS, 1e-9)
 
     results = {}
 
     # ---- full train step --------------------------------------------------
-    def full_run(xs):
-        pcs_i, rngs_i = xs
+    def full_run(st0, xs):
         def body(carry, x):
             pc_i, rng_i = x
             b = dict(batch, point_clouds=pc_i)
             new_state, metrics = train_body(model, dc, tx, step_cfg, carry, b, rng_i, 0.1)
             return new_state, metrics["loss"]
-        st, losses = jax.lax.scan(body, state, xs)
+        st, losses = jax.lax.scan(body, st0, xs)
         return jnp.sum(losses)
 
-    results["full"] = timed(full_run, (pcs, rngs), "full")
+    results["full"] = timed(full_run, state, (pcs, rngs), "full")
 
     # ---- forward + loss only ----------------------------------------------
     from bridgeqa_tpu.losses import get_loss
 
-    def fwd_only(xs):
-        pcs_i, rngs_i = xs
+    def fwd_only(params, xs):
         def body(c, x):
             pc_i, rng_i = x
             b = dict(batch, point_clouds=pc_i)
             out, _ = model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": state.batch_stats},
                 b, train=True, bn_momentum=0.1, mutable=["batch_stats"],
                 rngs={"dropout": rng_i})
             ep = dict(b); ep.update(out)
@@ -198,51 +201,52 @@ def main():
         s, _ = jax.lax.scan(body, 0.0, xs)
         return s
 
-    results["fwd"] = timed(fwd_only, (pcs, rngs), "fwd")
+    results["fwd"] = timed(fwd_only, state.params, (pcs, rngs), "fwd")
 
     # ---- detector fwd+bwd ---------------------------------------------------
-    def det_grad(xs):
+    def det_grad(params0, xs):
         def body(c, pc_i):
             def f(params):
                 out = model.apply({"params": params, "batch_stats": state.batch_stats},
-                                  pc_i, train=False,
-                                  method=lambda m, p: m.detector(p, train=False))
+                                  pc_i, method=lambda m, p: m.detector(p, train=False))
                 return sum(jnp.sum(o.astype(jnp.float32))
                            for o in jax.tree_util.tree_leaves(out)
                            if o.dtype != jnp.int32)
-            l, g = jax.value_and_grad(f)(state.params)
+            l, g = jax.value_and_grad(f)(params0)
             return c + l + sum(jnp.sum(jnp.abs(x).astype(jnp.float32)) * 0
                                for x in jax.tree_util.tree_leaves(g)), None
         s, _ = jax.lax.scan(body, 0.0, xs)
         return s
 
-    results["detector"] = timed(det_grad, pcs, "detector")
+    results["detector"] = timed(det_grad, state.params, pcs, "detector")
 
     # ---- ViT fwd+bwd --------------------------------------------------------
-    def vit_grad(xs):
+    def vit_grad(params0, xs):
         def body(c, img_i):
             def f(params):
                 out = model.apply({"params": params, "batch_stats": state.batch_stats},
-                                  img_i, train=False,
+                                  img_i,
                                   method=lambda m, im: m.blip_model.encode_image(im, train=False))
                 return jnp.sum(out.astype(jnp.float32))
-            l, g = jax.value_and_grad(f)(state.params)
+            l, g = jax.value_and_grad(f)(params0)
             return c + l + sum(jnp.sum(x.astype(jnp.float32)) * 0
                                for x in jax.tree_util.tree_leaves(g)), None
         s, _ = jax.lax.scan(body, 0.0, xs)
         return s
 
-    results["vit"] = timed(vit_grad, imgs, "vit")
+    results["vit"] = timed(vit_grad, state.params, imgs, "vit")
 
     # ---- twin question encode fwd+bwd (fixed image embeds) ------------------
     n_obj = cfg.num_proposal
     img_embeds = jnp.asarray(rng.randn(B, vit_tokens, vit_width) * 0.3, jnp.bfloat16)
-    obj_embeds = jnp.asarray(rng.randn(B, n_obj, h_model) * 0.3, jnp.float32)
+    # detector-width object features; encode_question's scene-object adapter
+    # (linear_scene_object) maps cfg.hidden_size -> BERT width itself
+    obj_embeds = jnp.asarray(rng.randn(B, n_obj, cfg.hidden_size) * 0.3, jnp.float32)
     obj_mask = jnp.ones((B, n_obj), jnp.int32)
     ie_stack = jnp.asarray(np.stack([np.asarray(img_embeds, np.float32) + 1e-3 * i
                                      for i in range(REPS)]), jnp.bfloat16)
 
-    def twin_grad(xs):
+    def twin_grad(params0, xs):
         def body(c, ie_i):
             def f(params):
                 def run(m, ie):
@@ -252,18 +256,18 @@ def main():
                     return jnp.sum(h2d.astype(jnp.float32)) + jnp.sum(h3d.astype(jnp.float32))
                 return model.apply({"params": params, "batch_stats": state.batch_stats},
                                    ie_i, method=run)
-            l, g = jax.value_and_grad(f)(state.params)
+            l, g = jax.value_and_grad(f)(params0)
             return c + l + sum(jnp.sum(x.astype(jnp.float32)) * 0
                                for x in jax.tree_util.tree_leaves(g)), None
         s, _ = jax.lax.scan(body, 0.0, xs)
         return s
 
-    results["twin"] = timed(twin_grad, ie_stack, "twin")
+    results["twin"] = timed(twin_grad, state.params, ie_stack, "twin")
 
     # ---- both decoder LM losses fwd+bwd (fixed question states) -------------
     qs_stack = jnp.asarray(rng.randn(REPS, B, QUESTION_LEN, h_model).astype(np.float32) * 0.5)
 
-    def dec_grad(xs):
+    def dec_grad(params0, xs):
         def body(c, qs_i):
             def f(params):
                 def run(m, qs):
@@ -279,20 +283,20 @@ def main():
                     return (jnp.sum(l2) + jnp.sum(l3)).astype(jnp.float32) / B
                 return model.apply({"params": params, "batch_stats": state.batch_stats},
                                    qs_i, method=run)
-            l, g = jax.value_and_grad(f)(state.params)
+            l, g = jax.value_and_grad(f)(params0)
             return c + l + sum(jnp.sum(x.astype(jnp.float32)) * 0
                                for x in jax.tree_util.tree_leaves(g)), None
         s, _ = jax.lax.scan(body, 0.0, xs)
         return s
 
-    results["decoders"] = timed(dec_grad, qs_stack, "decoders")
+    results["decoders"] = timed(dec_grad, state.params, qs_stack, "decoders")
 
     # ---- optimizer alone -----------------------------------------------------
     grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-4, state.params)
     gstack = [jax.tree_util.tree_map(lambda p: p * (1 + 0.1 * i), grads) for i in range(REPS)]
     gstack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gstack)
 
-    def opt_run(xs):
+    def opt_run(carry0, xs):
         def body(carry, g_i):
             params, opt_state = carry
             updates, new_opt = tx.update(g_i, opt_state, params)
@@ -300,10 +304,10 @@ def main():
             new_params = optax.apply_updates(params, updates)
             return (new_params, new_opt), jnp.sum(
                 updates["object_feat_linear"]["kernel"].astype(jnp.float32))
-        (_, _), outs = jax.lax.scan(body, (state.params, state.opt_state), xs)
+        (_, _), outs = jax.lax.scan(body, carry0, xs)
         return jnp.sum(outs)
 
-    results["opt"] = timed(opt_run, gstack, "opt")
+    results["opt"] = timed(opt_run, (state.params, state.opt_state), gstack, "opt")
 
     # ---- analytic MFU for the GEMM phases (fwd+bwd = 3x fwd GEMM FLOPs) ----
     t = vit_tokens
