@@ -48,8 +48,11 @@ def _greedy_nms(overlap_fn, scores, valid, threshold):
         alive = alive.at[i].set(False)
         return alive, picked
 
+    from bridgeqa_tpu.ops.vma import vary_like
+
     alive0 = valid
-    picked0 = jnp.zeros((k,), dtype=bool)
+    # lifted to scores' varying axes for shard_map bodies (no-op otherwise)
+    picked0 = vary_like(jnp.zeros((k,), dtype=bool), scores)
     _, picked = lax.while_loop(cond, body, (alive0, picked0))
     return picked
 

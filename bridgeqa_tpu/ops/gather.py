@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from bridgeqa_tpu.ops.vma import out_struct
 
 _ROWS_PER_STEP = 8  # unrolled dynamic loads per loop iteration
 _OUT_BLOCK = 2048   # output rows per grid step
@@ -60,7 +61,7 @@ def _gather_rows_one(table: jax.Array, idx: jax.Array) -> jax.Array:
             pl.BlockSpec((n, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_OUT_BLOCK, cp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rp, cp), table.dtype),
+        out_shape=out_struct((rp, cp), table.dtype, idx, table),
     )(idx[None, :].astype(jnp.int32), table)
     return out[:r, :c]
 
@@ -128,7 +129,7 @@ def _gather_rows_onehot(table: jax.Array, idx: jax.Array) -> jax.Array:
             pl.BlockSpec((_OH_CHUNK, cp), lambda i, k: (k, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_OH_ROWS, cp), lambda i, k: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rp, cp), table.dtype),
+        out_shape=out_struct((rp, cp), table.dtype, idx, table),
         scratch_shapes=[pltpu.VMEM((_OH_ROWS, cp), jnp.float32)],
     )(idx[None, :].astype(jnp.int32), table)
     return out[:r, :c]

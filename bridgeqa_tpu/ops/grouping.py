@@ -31,6 +31,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from bridgeqa_tpu.ops.vma import out_struct
 
 def _block_size(m: int, target: int = 256) -> int:
     """Largest divisor of m that is <= target (m is a power of two in practice)."""
@@ -436,8 +437,8 @@ def _ball_query_stripes_impl(radius: float, nsample: int, xyz: jax.Array, new_xy
         grid=(bp // bq, m // blk),
         in_specs=[pts_spec] * (3 + nf) + [ctr_spec] * 3,
         out_specs=[out_spec] * (4 + nf),
-        out_shape=[jax.ShapeDtypeStruct((bp, m, nsample), jnp.int32)]
-        + [jax.ShapeDtypeStruct((bp, m, nsample), jnp.float32)] * (3 + nf),
+        out_shape=[out_struct((bp, m, nsample), jnp.int32, xyz_p, c)]
+        + [out_struct((bp, m, nsample), jnp.float32, xyz_p, c)] * (3 + nf),
         # ~18 MB live in some surrounding-graph contexts (buffer assignment
         # varies under scan) — the 16 MB scoped-vmem default is compiler
         # policy, not the hardware cap

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from bridgeqa_tpu.ops.vma import out_struct
 
 PADDING_NORM_SQ = 1e-3
 INIT_DIST = 1e10
@@ -185,8 +186,8 @@ def _fps_pallas_impl(xyz: jax.Array, npoint: int, *, interpret: bool = False):
         grid=grid,
         in_specs=[spec, spec, spec, spec],
         out_specs=[out_spec] * 4,
-        out_shape=[jax.ShapeDtypeStruct((bb, npoint), jnp.int32)]
-        + [jax.ShapeDtypeStruct((bb, npoint), jnp.float32)] * 3,
+        out_shape=[out_struct((bb, npoint), jnp.int32, x)]
+        + [out_struct((bb, npoint), jnp.float32, x)] * 3,
         scratch_shapes=[pltpu.VMEM((_BB, x.shape[1]), jnp.float32)],
         # headroom over the 16 MB scoped-vmem policy default (buffer
         # assignment varies with the surrounding graph, e.g. under scan)
@@ -214,9 +215,16 @@ def _fps_single(xyz: jax.Array, npoint: int) -> jax.Array:
         idxs = idxs.at[j].set(besti)
         return new_temp, idxs, besti
 
-    temp0 = jnp.full((n,), INIT_DIST, dtype=jnp.float32)
-    idxs0 = jnp.zeros((npoint,), dtype=jnp.int32)
-    _, idxs, _ = lax.fori_loop(1, npoint, body, (temp0, idxs0, jnp.int32(0)))
+    from bridgeqa_tpu.ops.vma import vary_tree_like
+
+    # constants lifted to xyz's varying axes so the carry type-checks under
+    # shard_map's vma checker (no-op outside shard_map)
+    init = vary_tree_like(
+        (jnp.full((n,), INIT_DIST, dtype=jnp.float32),
+         jnp.zeros((npoint,), dtype=jnp.int32),
+         jnp.int32(0)),
+        xyz)
+    _, idxs, _ = lax.fori_loop(1, npoint, body, init)
     return idxs
 
 

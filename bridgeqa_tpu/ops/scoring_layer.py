@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from bridgeqa_tpu.ops.vma import out_struct
 
 NEG = -1e9
 
@@ -201,7 +202,7 @@ def scoring_layer(x, wqkv, bqkv, wo, bo, ln1s, ln1b, wcq, bcq, wco, bco,
         ],
         out_specs=pl.BlockSpec((r_blk, h), lambda i, j, cb=cb_per_q: (i * cb + j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, h), x.dtype),
+        out_shape=out_struct((rows, h), x.dtype, x, ck, cbias),
         # weights (~16.5 MB bf16) + activation/score buffers exceed the
         # 16 MB default scoped-vmem policy limit; the chip holds >=48 MB
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),

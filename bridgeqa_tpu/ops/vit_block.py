@@ -28,6 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from bridgeqa_tpu.ops.scoring_layer import _gelu_exact
+from bridgeqa_tpu.ops.vma import out_struct
 
 NEG = -1e9
 
@@ -109,7 +110,7 @@ def vit_block(x, wqkv, bqkv, wo, bo, ln1s, ln1b, wi, bi, wo2, bo2, ln2s, ln2b,
         ],
         out_specs=pl.BlockSpec((1, npd, h), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, npd, h), x.dtype),
+        out_shape=out_struct((b, npd, h), x.dtype, x),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(x, wqkv, bqkv, wo, bo, ln1s, ln1b, wi, bi, wo2, bo2, ln2s, ln2b)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from bridgeqa_tpu.ops.vma import out_struct
 
 NEG = -1e30
 
@@ -115,7 +116,7 @@ def lm_vocab_reductions(h, table, bias, labels, *, interpret: bool = False):
             pl.BlockSpec((r_blk, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[out_spec, out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((rp, 1), jnp.float32)] * 3,
+        out_shape=[out_struct((rp, 1), jnp.float32, h, labels, table)] * 3,
         scratch_shapes=[pltpu.VMEM((r_blk, 1), jnp.float32)] * 4,
         # ~29 MB live (double-buffered h/table tiles + the f32 logits tile);
         # the 16 MB default scoped-vmem limit is compiler policy, not the

@@ -27,7 +27,8 @@ REPLICATED_KEYS = ("answer_list_ids", "answer_list_mask")
 
 def make_sharded_eval_step(model, dataset_config, step_cfg: StepConfig,
                            mesh: Mesh, k_test: int = 256,
-                           replicated_keys=REPLICATED_KEYS):
+                           replicated_keys=REPLICATED_KEYS,
+                           check_vma: bool = True):
     """Build a jitted eval step whose body is ``shard_map``-ped over the
     mesh ``data`` axis.
 
@@ -37,6 +38,16 @@ def make_sharded_eval_step(model, dataset_config, step_cfg: StepConfig,
       global batch must divide the data-axis size;
     - scalar outputs (losses/metrics) are ``pmean``-ed over the data axis;
       per-sample outputs are reassembled along axis 0.
+
+    ``check_vma``: the varying-manual-axes checker stays ON by default —
+    loop carries and pallas ``out_shape``s declare their varying axes
+    explicitly (``ops/vma.py``), so new cross-shard dependencies are static
+    errors. The ONE deployment that must pass ``check_vma=False`` is
+    interpret-mode Pallas off-TPU (CPU tests / dryrun): JAX's HLO
+    interpreter evaluates kernel bodies with vma-typed avals and trips on
+    its own internal ``dynamic_slice`` index constants (JAX suggests this
+    exact workaround in the error). Compiled (Mosaic) kernels on TPU don't
+    have that problem.
     """
     ndata = mesh.shape["data"]
 
@@ -80,15 +91,11 @@ def make_sharded_eval_step(model, dataset_config, step_cfg: StepConfig,
         out_shapes = jax.eval_shape(local_body, state_shapes, local_shapes, table_shapes)
         out_specs = {k: out_spec_for(k, v) for k, v in out_shapes.items()}
         in_batch_specs = {k: P("data") for k in shard}
-        # check_vma=False: the eval body's fori_loop carries (FPS, ball query)
-        # mix body-created constants with shard-varying arrays, which the
-        # varying-manual-axes checker rejects; correctness is pinned by the
-        # sharded-vs-single-device parity test instead.
         return jax.shard_map(
             local_fn, mesh=mesh,
             in_specs=(P(), in_batch_specs, P()),
             out_specs=out_specs,
-            check_vma=False,
+            check_vma=check_vma,
         )(state, shard, table)
 
     return sharded_eval_step
