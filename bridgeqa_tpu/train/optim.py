@@ -1,16 +1,17 @@
-"""Optimizer construction: 3-group AdamW routing + multi-step LR schedules.
+"""Optimizer construction: 3-group AdamW routing + LR schedules.
 
 Mirrors ``scripts/train.py:385-417`` (parameter-name-based routing into
 blip / blip3d / other groups with separate lr and weight decay) and the
-``step`` / ``step_except_2d`` schedulers (``lib/solver.py:242-259`` +
-``utils/multilr.py``) as optax transforms. Gradient clip-by-value 1.0
-matches ``solver.py:408-409``.
+``step`` / ``step_except_2d`` / ``linear`` / ``cosine`` schedulers
+(``lib/solver.py:242-266`` + ``utils/multilr.py``) as optax transforms.
+Gradient clip-by-value 1.0 matches ``solver.py:408-409``.
 """
 
 import dataclasses
 from collections.abc import Sequence
 
 import jax
+import jax.numpy as jnp
 import optax
 
 # routing substrings from train.py:389-407
@@ -33,8 +34,12 @@ class OptimConfig:
     lr_decay_step: Sequence[int] = (100, 200)  # epochs
     lr_decay_step_2d: Sequence[int] = (100, 200)
     lr_decay_rate: float = 0.2
-    scheduler_type: str = "step"  # "step" | "step_except_2d" | none
+    # "step" | "step_except_2d" | "linear" | "cosine" | none
+    # (lib/solver.py:242-266; linear/cosine step per EPOCH like torch's
+    # per-epoch scheduler.step() and need total_epochs)
+    scheduler_type: str = "step"
     steps_per_epoch: int = 1
+    total_epochs: int = 0  # required by linear/cosine
 
 
 def label_params(params):
@@ -60,6 +65,34 @@ def multistep_schedule(base_lr: float, decay_epochs: Sequence[int], decay_rate: 
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def linear_schedule(base_lr: float, total_epochs: int, steps_per_epoch: int,
+                    end_factor: float = 0.001) -> optax.Schedule:
+    """torch ``LinearLR(optimizer, 1, 0.001, total_iters=epochs)``
+    (``lib/solver.py:262-263``): the lr factor ramps linearly 1 -> 0.001 over
+    ``total_epochs``, stepped per epoch, then holds."""
+    assert total_epochs > 0, "linear scheduler needs OptimConfig.total_epochs"
+
+    def schedule(count):
+        e = jnp.minimum(count // steps_per_epoch, total_epochs).astype(jnp.float32)
+        return base_lr * (1.0 + (end_factor - 1.0) * e / total_epochs)
+
+    return schedule
+
+
+def cosine_schedule(base_lr: float, total_epochs: int, steps_per_epoch: int) -> optax.Schedule:
+    """torch ``CosineAnnealingLR(optimizer, epochs)`` with eta_min=0
+    (``lib/solver.py:264-266``): lr(e) = base * (1 + cos(pi*e/T)) / 2,
+    stepped per epoch."""
+    assert total_epochs > 0, "cosine scheduler needs OptimConfig.total_epochs"
+
+    def schedule(count):
+        e = (count // steps_per_epoch).astype(jnp.float32) if hasattr(count, "astype") \
+            else jnp.asarray(count // steps_per_epoch, jnp.float32)
+        return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * e / total_epochs))
+
+    return schedule
+
+
 def build_optimizer(params, cfg: OptimConfig):
     """Returns (optax.GradientTransformation, labels pytree)."""
     labels = label_params(params)
@@ -67,6 +100,10 @@ def build_optimizer(params, cfg: OptimConfig):
     def schedule_for(base_lr, decay_epochs):
         if cfg.scheduler_type in ("step", "step_except_2d"):
             return multistep_schedule(base_lr, decay_epochs, cfg.lr_decay_rate, cfg.steps_per_epoch)
+        if cfg.scheduler_type == "linear":
+            return linear_schedule(base_lr, cfg.total_epochs, cfg.steps_per_epoch)
+        if cfg.scheduler_type == "cosine":
+            return cosine_schedule(base_lr, cfg.total_epochs, cfg.steps_per_epoch)
         return base_lr
 
     # step_except_2d: the 2D blip group decays on lr_decay_step_2d, the rest

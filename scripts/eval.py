@@ -46,6 +46,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--k_test", type=int, default=256)
     p.add_argument("--nms_iou", type=float, default=0.25)
+    p.add_argument("--repeat", type=int, default=1,
+                   help="number of seeded eval trials; per-trial metric lists are "
+                        "stacked into score.<split>.pkl (reference eval.py:297-312,517)")
+    p.add_argument("--seed", type=int, default=42, help="base seed; trial t uses seed+t")
     p.add_argument("--force", action="store_true")
     return p.parse_args(argv)
 
@@ -54,6 +58,34 @@ SCALAR_KEYS = ("loss", "ref_acc_mean", "ref_iou_rate_0.25", "ref_iou_rate_0.5", 
                "obj_acc", "sem_acc", "answer_acc_at1", "answer_acc_at10",
                "answer_acc_at1_scene", "answer_acc_at1_2d", "answer_acc_at1_2d3d",
                "pos_ratio", "neg_ratio")
+
+
+def _accumulate_qa(cli, batch, end_points, agg, batch_lists, predictions, answer_cands):
+    """Fold one eval batch into the running means, the per-batch metric
+    lists, and the per-sample prediction records (reference eval.py:318-420)."""
+    agg.update(jax.device_get({k: end_points[k] for k in SCALAR_KEYS if k in end_points}))
+    per = jax.device_get({k: end_points[k] for k in
+                          ("ref_acc", "ref_iou", "pred_bboxes", "gt_bboxes",
+                           "pred_answers_at10", "lang_acc",
+                           "answer_acc_at1", "answer_acc_at10")
+                          if k in end_points})
+    batch_lists["ref_acc"] += np.asarray(per["ref_acc"]).tolist()
+    batch_lists["ious"] += np.asarray(per["ref_iou"]).tolist()
+    if "lang_acc" in per:
+        batch_lists["lang_acc"].append(float(per["lang_acc"]))
+    batch_lists["answer_acc_at1"].append(float(per["answer_acc_at1"]))
+    batch_lists["answer_acc_at10"].append(float(per["answer_acc_at10"]))
+    for i in range(len(batch["question_id_str"])):
+        scene_id = batch["scene_id_str"][i]
+        qid = batch["question_id_str"][i]
+        rec = predictions.setdefault(scene_id, {}).setdefault(qid, {})
+        rec["pred_bbox"] = np.asarray(per["pred_bboxes"][i])
+        rec["gt_bbox"] = np.asarray(per["gt_bboxes"][i])
+        rec["iou"] = float(per["ref_iou"][i])
+        if "pred_answers_at10" in per:
+            rec["pred_answers_at10"] = [
+                answer_cands[j] if j < len(answer_cands) else "<pad>"
+                for j in np.asarray(per["pred_answers_at10"][i])]
 
 
 def main(argv=None):
@@ -93,53 +125,43 @@ def main(argv=None):
                               use_lang_classifier=not info.get("no_lang_cls", False))
         return end_points
 
-    loader = common.make_loader(dataset, args, shuffle=False)
     agg = RunningMeans()
     ap25 = APCalculator(0.25, dc.class2type)
     ap50 = APCalculator(0.5, dc.class2type)
 
-    # per-sample records + per-batch metric lists (reference eval.py:318-420)
+    # per-sample records + per-trial stacks of per-batch metric lists
+    # (reference eval.py:297-312,318-420: --repeat runs N seeded trials and
+    # stacks each trial's metric lists into score.<split>.pkl)
     predictions = {}
-    batch_lists = {"ref_acc": [], "lang_acc": [], "answer_acc_at1": [],
+    trial_lists = {"ref_acc": [], "lang_acc": [], "answer_acc_at1": [],
                    "answer_acc_at10": [], "ious": []}
 
-    for batch in loader:
-        arrays = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
-        arrays.update(extra)
-        end_points = eval_step(arrays)
-        if cli.qa:
-            agg.update(jax.device_get({k: end_points[k] for k in SCALAR_KEYS if k in end_points}))
-            per = jax.device_get({k: end_points[k] for k in
-                                  ("ref_acc", "ref_iou", "pred_bboxes", "gt_bboxes",
-                                   "pred_answers_at10", "lang_acc",
-                                   "answer_acc_at1", "answer_acc_at10")
-                                  if k in end_points})
-            batch_lists["ref_acc"] += np.asarray(per["ref_acc"]).tolist()
-            batch_lists["ious"] += np.asarray(per["ref_iou"]).tolist()
-            if "lang_acc" in per:
-                batch_lists["lang_acc"].append(float(per["lang_acc"]))
-            batch_lists["answer_acc_at1"].append(float(per["answer_acc_at1"]))
-            batch_lists["answer_acc_at10"].append(float(per["answer_acc_at10"]))
-            for i in range(len(batch["question_id_str"])):
-                scene_id = batch["scene_id_str"][i]
-                qid = batch["question_id_str"][i]
-                rec = predictions.setdefault(scene_id, {}).setdefault(qid, {})
-                rec["pred_bbox"] = np.asarray(per["pred_bboxes"][i])
-                rec["gt_bbox"] = np.asarray(per["gt_bboxes"][i])
-                rec["iou"] = float(per["ref_iou"][i])
-                if "pred_answers_at10" in per:
-                    rec["pred_answers_at10"] = [
-                        answer_cands[j] if j < len(answer_cands) else "<pad>"
-                        for j in np.asarray(per["pred_answers_at10"][i])]
-        if cli.detection:
-            cfg_dict = {"dataset_config": dc, "nms_iou": cli.nms_iou}
-            # parse_* expect host-accessible arrays
-            ep = {k: v for k, v in end_points.items()
-                  if isinstance(v, (jnp.ndarray, np.ndarray)) or hasattr(v, "shape")}
-            pred = parse_predictions(ep, cfg_dict)
-            gt = parse_groundtruths(ep, cfg_dict)
-            ap25.step(pred, gt)
-            ap50.step(pred, gt)
+    for trial in range(max(1, cli.repeat)):
+        # reseed the dataset's point sampling / augmentation stream per trial
+        dataset.seed = cli.seed + trial
+        dataset.rng = np.random.RandomState(dataset.seed)
+        loader = common.make_loader(dataset, args, shuffle=False, seed=dataset.seed)
+        batch_lists = {k: [] for k in trial_lists}
+        first_trial = trial == 0
+
+        for batch in loader:
+            arrays = {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+            arrays.update(extra)
+            end_points = eval_step(arrays)
+            if cli.qa:
+                _accumulate_qa(cli, batch, end_points, agg if first_trial else RunningMeans(),
+                               batch_lists, predictions if first_trial else {}, answer_cands)
+            if cli.detection and first_trial:
+                cfg_dict = {"dataset_config": dc, "nms_iou": cli.nms_iou}
+                # parse_* expect host-accessible arrays
+                ep = {k: v for k, v in end_points.items()
+                      if isinstance(v, (jnp.ndarray, np.ndarray)) or hasattr(v, "shape")}
+                pred = parse_predictions(ep, cfg_dict)
+                gt = parse_groundtruths(ep, cfg_dict)
+                ap25.step(pred, gt)
+                ap50.step(pred, gt)
+        for k in trial_lists:
+            trial_lists[k].append(batch_lists[k])
 
     results = {}
     if cli.qa:
@@ -160,8 +182,8 @@ def main(argv=None):
         with open(pred_path + ".json", "w") as f:
             json.dump(conved, f)
         with open(os.path.join(cli.run_dir, f"score.{cli.split}.pkl"), "wb") as f:
-            # one trial (the reference stacks trials for --repeat)
-            pickle.dump({k: [v] for k, v in batch_lists.items()}, f)
+            # one list per trial, stacked (reference eval.py:297-312,517)
+            pickle.dump(trial_lists, f)
     if cli.detection:
         for name, calc in (("mAP@0.25", ap25), ("mAP@0.5", ap50)):
             m = calc.compute_metrics()

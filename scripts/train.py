@@ -45,7 +45,7 @@ def parse_args(argv=None):
     p.add_argument("--lr_decay_step_2d", type=int, nargs="+", default=[100, 200])
     p.add_argument("--lr_decay_rate", type=float, default=0.2)
     p.add_argument("--scheduler_type", type=str, default="step",
-                   choices=["step", "step_except_2d", "none"])
+                   choices=["step", "step_except_2d", "linear", "cosine", "none"])
     p.add_argument("--val_step", type=int, default=2000)
     p.add_argument("--verbose", type=int, default=50)
     p.add_argument("--cur_criterion", type=str, default="answer_acc_at1")
@@ -124,7 +124,7 @@ def main(argv=None):
                           lr_decay_step_2d=tuple(args.lr_decay_step_2d),
                           lr_decay_rate=args.lr_decay_rate,
                           scheduler_type=args.scheduler_type,
-                          steps_per_epoch=steps_per_epoch)
+                          steps_per_epoch=steps_per_epoch, total_epochs=args.epochs)
     tx, _ = build_optimizer(variables["params"], opt_cfg)
     state = TrainState.create(variables, tx)
     start_epoch = 0

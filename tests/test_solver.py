@@ -124,7 +124,7 @@ class TestEvalDriver:
         from scripts import eval as eval_script
 
         eval_script.main(["--run_dir", run, "--qa", "--detection",
-                          "--k_test", "4", "--batch_size", "4"])
+                          "--k_test", "4", "--batch_size", "4", "--repeat", "2"])
         out = os.path.join(run, "score.val.json")
         assert os.path.exists(out)
         with open(out) as f:
@@ -150,7 +150,11 @@ class TestEvalDriver:
         assert set(scores) == {"ref_acc", "lang_acc", "answer_acc_at1",
                                "answer_acc_at10", "ious"}
         n_samples = sum(len(s) for s in predictions.values())
+        # --repeat 2: one stacked per-batch list PER TRIAL
+        # (reference eval.py:297-312,517)
+        assert len(scores["ious"]) == 2
         assert len(scores["ious"][0]) == n_samples
+        assert len(scores["ious"][1]) == n_samples
         with open(os.path.join(run, "pred.val.pkl.json")) as f:
             conved = json.load(f)
         assert len(conved) == n_samples
