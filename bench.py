@@ -85,6 +85,26 @@ def vit_flops():
     return BATCH * LAYERS * per_layer
 
 
+def train_fwd_gemm_flops(tb: int, num_proposal: int) -> float:
+    """Analytic fwd GEMM FLOPs of one train step's transformer stack (ViT +
+    twin encoder + both LM decoders) at train batch ``tb``. The detector's
+    point ops (gather/group sweeps) are excluded, so the derived train MFU is
+    a LOWER bound on real MXU utilization."""
+    t = VIT_TOKENS
+    vit = tb * LAYERS * (t * (4 * H * H + 2 * H * FF) * 2 + 2 * t * t * H * 2)
+    keys = t + num_proposal  # per-stream cross-attention keys (image | scene)
+    twin = tb * LAYERS * QUESTION_LEN * 2 * (2 * (4 * H * H + 2 * H * H + 2 * H * FF)) \
+        + tb * LAYERS * 2 * 2 * (keys * 2 * H * H
+                                 + QUESTION_LEN * keys * H * 2
+                                 + QUESTION_LEN * QUESTION_LEN * H * 2)
+    rows = tb * ANSWER_LEN
+    dec = 2 * (LAYERS * rows * (4 * H * H * 2 + 2 * H * H * 2 + 2 * H * FF * 2
+                                + 2 * ANSWER_LEN * H * 2 + 2 * QUESTION_LEN * H * 2)
+               + tb * LAYERS * QUESTION_LEN * 2 * H * H * 2
+               + rows * (H * H + H * VOCAB) * 2)
+    return vit + twin + dec
+
+
 def main(smoke: bool = False):
     """Prints the one-line JSON benchmark. ``smoke`` shrinks every dimension
     to a CPU-runnable config that exercises the IDENTICAL code path (model
@@ -251,6 +271,24 @@ def main(smoke: bool = False):
     mbu_scoring = s_bytes / t_scoring / PEAK_HBM_BYTES
     mfu_vit = vit_flops() / t_vit / PEAK_BF16_FLOPS
 
+    # ---- open-ended generation (the reference predict --open_ended path,
+    # scripts/predict.py:353-378): jitted KV-cached beam search over the
+    # interleaved 2D/3D question states (models/generation.py) ----
+    @jax.jit
+    def gen_scan(v, batch, pcs, imgs):
+        def body(c, x):
+            pc_i, img_i = x
+            b = dict(batch, point_clouds=pc_i, images=img_i)
+            out = model.apply(v, b, train=False, inference="generate")
+            return c + jnp.sum(out["generated_ids"]).astype(jnp.float32), None
+        s, _ = jax.lax.scan(body, 0.0, (pcs, imgs))
+        return s
+
+    _ = np.asarray(gen_scan(variables, batch, pc_stack, img_rep))  # compile
+    t0 = time.perf_counter()
+    _ = np.asarray(gen_scan(variables, batch, pc_stack, img_rep))
+    t_generate = max((time.perf_counter() - t0 - RPC_FLOOR) / REPS, 1e-9)
+
     # ---- training throughput (reference hot loop: lib/solver.py:398-411,
     # trained at batch 16/GPU per scripts/train.py:47) ----
     from bridgeqa_tpu.train.optim import OptimConfig, build_optimizer
@@ -287,7 +325,7 @@ def main(smoke: bool = False):
         object_cat=jnp.asarray(rng.randint(0, 18, (tb,)), jnp.int32),
     )
     # Train under remat like the reference: its ViT blocks run inside
-    # fairscale checkpoint_wrapper (models/vit.py:180-190), trading recompute
+    # fairscale checkpoint_wrapper (models/vit.py:103-105), trading recompute
     # for activation memory. Without remat the batch-16 backward's saved
     # (B, 12, 901, 901) ViT attention probs alone blow the 16G HBM.
     # remat does not change the param tree (tests/test_remat.py).
@@ -296,7 +334,14 @@ def main(smoke: bool = False):
         cfg, blip=_dc.replace(cfg.blip, remat=True, remat_mode="block"))
     train_model = BridgeQA(train_cfg, mean_size_arr=dc.mean_size_arr, dtype=jnp.bfloat16)
     tx, _ = build_optimizer(variables["params"], OptimConfig())
+    # TrainState.create aliases variables["params"] (train/step.py:30-33) and
+    # train_scan donates the state, which consumes those shared buffers: the
+    # train phase MUST stay the last phase, and `variables` must never be
+    # touched afterwards — enforced by deleting the name here. (A defensive
+    # params copy would cost ~1.75G extra HBM at batch 16, eating the remat
+    # headroom that makes the step fit on the 16G chip.)
     t_state = TrainState.create(variables, tx)
+    del variables
     step_cfg = StepConfig()
 
     tr_pcs = jnp.asarray(np.stack(
@@ -323,6 +368,11 @@ def main(smoke: bool = False):
     _ = np.asarray(l1)
     t_train = max((time.perf_counter() - t0 - RPC_FLOOR) / REPS, 1e-9)
     train_samples_per_sec = tb / t_train
+    # useful FLOPs = 3x fwd GEMMs (fwd + 2x in bwd); remat's recompute is
+    # overhead by MFU convention, so the achievable ceiling under "block"
+    # remat is ~75% even at perfect MXU occupancy. Detector excluded -> lower
+    # bound (see train_fwd_gemm_flops).
+    train_mfu = 3 * train_fwd_gemm_flops(tb, cfg.num_proposal) / t_train / PEAK_BF16_FLOPS
 
     payload = {
         "metric": "QA pairs/sec/chip (ScanQA-shape e2e paralleltwin rank inference, "
@@ -342,12 +392,21 @@ def main(smoke: bool = False):
         "mfu_scoring": round(mfu_scoring, 3),
         "mbu_scoring": round(mbu_scoring, 3),
         "mfu_vit": round(mfu_vit, 3),
+        "generate_ms": round(t_generate * 1e3, 1),
+        "generate_samples_per_sec": round(BATCH / t_generate, 2),
+        "generate_note": "open-ended KV-cached beam search (reference predict --open_ended, "
+                         f"predict.py:353-378) at batch {BATCH}, num_beams "
+                         f"{cfg.blip.num_beams}, max_length {cfg.blip.generate_max_length}",
         "train_step_ms": round(t_train * 1e3, 1),
         "train_samples_per_sec": round(train_samples_per_sec, 2),
+        "train_mfu": round(train_mfu, 3),
+        "train_mfu_note": "3x analytic fwd GEMM FLOPs (ViT+twin+2 decoders; detector point ops "
+                          "excluded -> lower bound) / step time / 197 TFLOP/s; 'block' remat "
+                          "recompute counts as overhead, so ~0.75 is the remat ceiling",
         "train_note": f"full train step (fwd+loss+grads+AdamW groups) at the reference's own "
                       f"batch {TRAIN_BATCH} (scripts/train.py:47), 40k points, bf16 compute, "
                       "ViT/BERT remat (reference trains its ViT under fairscale "
-                      "checkpoint_wrapper, models/vit.py:180-190); "
+                      "checkpoint_wrapper, models/vit.py:103-105); "
                       "scanned 4 perturbed batches in one jit minus the dispatch floor",
         "roofline_note": "mfu/mbu = analytic GEMM FLOPs (2MNK summed) and fused-path HBM bytes "
                          "(one activation round-trip/layer + weights + head table stream) over "

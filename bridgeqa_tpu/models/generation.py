@@ -147,6 +147,12 @@ def beam_search_cached(decode_step_fn, cache, batch_size: int, num_beams: int, *
         new_finished = jnp.take_along_axis(finished, beam_idx, axis=1) | (token_idx == eos_token_id)
         return new_ids, top_scores, new_finished, gather_cache(cache, beam_idx)
 
+    from bridgeqa_tpu.ops.vma import vary_tree_like
+
+    # carry constants lifted to the cache's varying axes so the loop
+    # type-checks under shard_map's vma checker (no-op otherwise)
+    ref = jax.tree_util.tree_leaves(cache)[0]
+    ids0, scores0, finished0 = vary_tree_like((ids0, scores0, finished0), ref)
     ids, scores, finished, _ = jax.lax.fori_loop(
         0, max_length - 1, step, (ids0, scores0, finished0, cache))
 

@@ -97,7 +97,7 @@ def main():
         vit_depth, vit_width, vit_tokens = 12, 768, (IMAGE_SIZE // 16) ** 2 + 1
 
     # Production training runs under remat like the reference (fairscale
-    # checkpoint_wrapper around ViT blocks, models/vit.py:180-190): without it
+    # checkpoint_wrapper around ViT blocks, models/vit.py:103-105): without it
     # the batch-16 ViT backward's saved attention probs alone exceed 16G HBM.
     import dataclasses as _dc
     cfg = _dc.replace(cfg, blip=_dc.replace(cfg.blip, remat=True))
@@ -143,9 +143,17 @@ def main():
     )
     variables = {"params": variables["params"],
                  "batch_stats": variables.get("batch_stats", {})}
-    tx, _ = build_optimizer(variables["params"], OptimConfig())
-    state = TrainState.create(variables, tx)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx, _ = build_optimizer(params, OptimConfig())
     step_cfg = StepConfig()
+
+    def fresh_state():
+        """A donatable TrainState built from COPIES of the shared params
+        (TrainState.create would alias ``variables['params']``; donating the
+        aliased buffers would invalidate every later phase's operands)."""
+        return TrainState.create(
+            {"params": jax.tree_util.tree_map(jnp.copy, params),
+             "batch_stats": jax.tree_util.tree_map(jnp.copy, batch_stats)}, tx)
 
     pcs = jnp.asarray(np.stack([np.asarray(batch["point_clouds"]) + 1e-3 * (i + 1)
                                 for i in range(REPS)]), jnp.float32)
@@ -153,20 +161,28 @@ def main():
                                  for i in range(REPS)]), jnp.float32)
     rngs = jax.random.split(jax.random.PRNGKey(7), REPS)
 
-    def timed(make_run, operands, xs, label=""):
+    def timed(make_run, operands, xs, label="", donate=False):
         """Compile + steady-state time of a jitted scan over perturbed xs.
 
         ``operands`` (params / state trees) are passed as jit ARGUMENTS —
         closing over them would bake multi-GB constants into every phase's
         lowering (observed: 7.5G captured constants, compile never finished).
+
+        ``donate=True`` donates arg 0 (required for phases that carry the
+        full f32 params + AdamW moments: without donation the ~7G state is
+        double-buffered and batch 16 OOMs the 16G chip, same as bench.py's
+        train phase). Donated operands are consumed per call, so pass a
+        zero-arg FACTORY producing a fresh operand tree instead of the tree.
         """
-        run = jax.jit(make_run)
+        run = jax.jit(make_run, donate_argnums=(0,) if donate else ())
+        get = operands if callable(operands) else (lambda: operands)
         t0 = time.perf_counter()
-        _ = np.asarray(run(operands, xs))  # compile + warm
+        _ = np.asarray(run(get(), xs))  # compile + warm
         print(f"# {label}: compiled+warm in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
+        ops = get()
         t0 = time.perf_counter()
-        _ = np.asarray(run(operands, xs))
+        _ = np.asarray(run(ops, xs))
         return max((time.perf_counter() - t0 - RPC_FLOOR) / REPS, 1e-9)
 
     results = {}
@@ -181,7 +197,7 @@ def main():
         st, losses = jax.lax.scan(body, st0, xs)
         return jnp.sum(losses)
 
-    results["full"] = timed(full_run, state, (pcs, rngs), "full")
+    results["full"] = timed(full_run, fresh_state, (pcs, rngs), "full", donate=True)
 
     # ---- forward + loss only ----------------------------------------------
     from bridgeqa_tpu.losses import get_loss
@@ -191,7 +207,7 @@ def main():
             pc_i, rng_i = x
             b = dict(batch, point_clouds=pc_i)
             out, _ = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
+                {"params": params, "batch_stats": batch_stats},
                 b, train=True, bn_momentum=0.1, mutable=["batch_stats"],
                 rngs={"dropout": rng_i})
             ep = dict(b); ep.update(out)
@@ -201,40 +217,40 @@ def main():
         s, _ = jax.lax.scan(body, 0.0, xs)
         return s
 
-    results["fwd"] = timed(fwd_only, state.params, (pcs, rngs), "fwd")
+    results["fwd"] = timed(fwd_only, params, (pcs, rngs), "fwd")
 
     # ---- detector fwd+bwd ---------------------------------------------------
     def det_grad(params0, xs):
         def body(c, pc_i):
             def f(params):
-                out = model.apply({"params": params, "batch_stats": state.batch_stats},
+                out = model.apply({"params": params, "batch_stats": batch_stats},
                                   pc_i, method=lambda m, p: m.detector(p, train=False))
                 return sum(jnp.sum(o.astype(jnp.float32))
                            for o in jax.tree_util.tree_leaves(out)
                            if o.dtype != jnp.int32)
             l, g = jax.value_and_grad(f)(params0)
-            return c + l + sum(jnp.sum(jnp.abs(x).astype(jnp.float32)) * 0
+            return c + l + sum(jnp.sum(jnp.abs(x).astype(jnp.float32)) * 1e-30
                                for x in jax.tree_util.tree_leaves(g)), None
         s, _ = jax.lax.scan(body, 0.0, xs)
         return s
 
-    results["detector"] = timed(det_grad, state.params, pcs, "detector")
+    results["detector"] = timed(det_grad, params, pcs, "detector")
 
     # ---- ViT fwd+bwd --------------------------------------------------------
     def vit_grad(params0, xs):
         def body(c, img_i):
             def f(params):
-                out = model.apply({"params": params, "batch_stats": state.batch_stats},
+                out = model.apply({"params": params, "batch_stats": batch_stats},
                                   img_i,
                                   method=lambda m, im: m.blip_model.encode_image(im, train=False))
                 return jnp.sum(out.astype(jnp.float32))
             l, g = jax.value_and_grad(f)(params0)
-            return c + l + sum(jnp.sum(x.astype(jnp.float32)) * 0
+            return c + l + sum(jnp.sum(x.astype(jnp.float32)) * 1e-30
                                for x in jax.tree_util.tree_leaves(g)), None
         s, _ = jax.lax.scan(body, 0.0, xs)
         return s
 
-    results["vit"] = timed(vit_grad, state.params, imgs, "vit")
+    results["vit"] = timed(vit_grad, params, imgs, "vit")
 
     # ---- twin question encode fwd+bwd (fixed image embeds) ------------------
     n_obj = cfg.num_proposal
@@ -254,15 +270,15 @@ def main():
                         ie, batch["question_ids"], batch["question_mask"],
                         obj_embeds, obj_mask, train=False)
                     return jnp.sum(h2d.astype(jnp.float32)) + jnp.sum(h3d.astype(jnp.float32))
-                return model.apply({"params": params, "batch_stats": state.batch_stats},
+                return model.apply({"params": params, "batch_stats": batch_stats},
                                    ie_i, method=run)
             l, g = jax.value_and_grad(f)(params0)
-            return c + l + sum(jnp.sum(x.astype(jnp.float32)) * 0
+            return c + l + sum(jnp.sum(x.astype(jnp.float32)) * 1e-30
                                for x in jax.tree_util.tree_leaves(g)), None
         s, _ = jax.lax.scan(body, 0.0, xs)
         return s
 
-    results["twin"] = timed(twin_grad, state.params, ie_stack, "twin")
+    results["twin"] = timed(twin_grad, params, ie_stack, "twin")
 
     # ---- both decoder LM losses fwd+bwd (fixed question states) -------------
     qs_stack = jnp.asarray(rng.randn(REPS, B, QUESTION_LEN, h_model).astype(np.float32) * 0.5)
@@ -281,33 +297,44 @@ def main():
                         batch["question_mask"], labels=tgt, deterministic=True,
                         layernorm_idx=m.blip_model._scene_layernorm_idx())
                     return (jnp.sum(l2) + jnp.sum(l3)).astype(jnp.float32) / B
-                return model.apply({"params": params, "batch_stats": state.batch_stats},
+                return model.apply({"params": params, "batch_stats": batch_stats},
                                    qs_i, method=run)
             l, g = jax.value_and_grad(f)(params0)
-            return c + l + sum(jnp.sum(x.astype(jnp.float32)) * 0
+            return c + l + sum(jnp.sum(x.astype(jnp.float32)) * 1e-30
                                for x in jax.tree_util.tree_leaves(g)), None
         s, _ = jax.lax.scan(body, 0.0, xs)
         return s
 
-    results["decoders"] = timed(dec_grad, state.params, qs_stack, "decoders")
+    results["decoders"] = timed(dec_grad, params, qs_stack, "decoders")
 
     # ---- optimizer alone -----------------------------------------------------
-    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-4, state.params)
-    gstack = [jax.tree_util.tree_map(lambda p: p * (1 + 0.1 * i), grads) for i in range(REPS)]
-    gstack = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *gstack)
+    # One base grad tree scaled by a per-rep SCALAR inside the scan (a
+    # REPS-wide stacked grad tree would be ~REPS x params bytes of HBM on top
+    # of the params + moments — an OOM by itself at ViT-B/BERT-base scale).
+    # The carry (params + moments) is donated via a fresh-copy factory.
+    grads = jax.tree_util.tree_map(lambda p: jnp.ones_like(p) * 1e-4, params)
+    scales = jnp.asarray([1 + 0.1 * i for i in range(REPS)], jnp.float32)
 
-    def opt_run(carry0, xs):
-        def body(carry, g_i):
-            params, opt_state = carry
-            updates, new_opt = tx.update(g_i, opt_state, params)
-            import optax
-            new_params = optax.apply_updates(params, updates)
+    def fresh_opt_carry():
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        return (p, tx.init(p))
+
+    def opt_run(carry0, aux):
+        import optax
+        g_base, scales_i = aux
+
+        def body(carry, s_i):
+            p, opt_state = carry
+            g_i = jax.tree_util.tree_map(lambda x: x * s_i, g_base)
+            updates, new_opt = tx.update(g_i, opt_state, p)
+            new_params = optax.apply_updates(p, updates)
             return (new_params, new_opt), jnp.sum(
                 updates["object_feat_linear"]["kernel"].astype(jnp.float32))
-        (_, _), outs = jax.lax.scan(body, carry0, xs)
+
+        (_, _), outs = jax.lax.scan(body, carry0, scales_i)
         return jnp.sum(outs)
 
-    results["opt"] = timed(opt_run, (state.params, state.opt_state), gstack, "opt")
+    results["opt"] = timed(opt_run, fresh_opt_carry, (grads, scales), "opt", donate=True)
 
     # ---- analytic MFU for the GEMM phases (fwd+bwd = 3x fwd GEMM FLOPs) ----
     t = vit_tokens

@@ -237,7 +237,10 @@ def install_pointnet2_ext_oracles():
         b, c, n = points.shape
         _, m, s = idx.shape
         flat = idx.long().view(b, 1, m * s).expand(-1, c, -1)
-        return points.gather(2, flat).view(b, c, m, s).contiguous()
+        # .clone(): the output must NOT be a view — GroupingOperation's
+        # callers modify it in place (pointnet2_utils.py:350) and torch
+        # forbids inplace on views returned from custom Functions
+        return points.gather(2, flat).view(b, c, m, s).clone()
 
     def group_points_grad(grad_out, idx, n):
         b, c, m, s = grad_out.shape
