@@ -45,6 +45,9 @@ class BlipVQA3DConfig:
     scene_size: int = 128  # proposal feature dim fed to the 3D adapter
     num_answers: int = 4500
     answer_pdrop: float = 0.1
+    # dropout inside the linear_scene_object adapter (the reference hardcodes
+    # 0.1, blip_vqa_3d.py:142-149; exposed for deterministic train goldens)
+    adapter_pdrop: float = 0.1
     use_text_decoder: bool = True
     use_scene_classifier: bool = False
     use_scene_classifier_2d3d: bool = False
@@ -84,7 +87,9 @@ class MlpAdapter(nn.Module):
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = nn.Dense(self.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="fc2")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        # epsilon=1e-5: torch nn.LayerNorm default (the reference's adapter
+        # uses a bare nn.LayerNorm, blip_vqa_3d.py:149); flax defaults to 1e-6
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class ClassifierHead(nn.Module):
@@ -101,7 +106,8 @@ class ClassifierHead(nn.Module):
         x = nn.Dense(self.hidden_size, kernel_init=normal_init, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        # epsilon=1e-5: torch nn.LayerNorm default (blip_vqa_3d.py:125-139)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(self.num_answers, kernel_init=normal_init, dtype=self.dtype, name="fc2")(x)
 
 
@@ -153,7 +159,8 @@ class BLIPVQA3D(nn.Module):
         )
         self.bilinear_bias = self.param("bilinear_fusion_bias", nn.initializers.zeros, (h,), jnp.float32)
 
-        self.linear_scene_object = MlpAdapter(h, dtype=self.dtype, name="linear_scene_object")
+        self.linear_scene_object = MlpAdapter(h, drop=c.adapter_pdrop, dtype=self.dtype,
+                                              name="linear_scene_object")
         # NOTE: the reference's ``camera_encoder`` (blip_vqa_3d.py:152-159) is
         # only consumed by the non-parallel scene_feature_position modes
         # (blip_vqa_3d.py:261-264), which this rebuild intentionally omits —

@@ -59,6 +59,10 @@ class BridgeQAConfig:
     lang_bert_freeze: bool = False
     lang_bert_finetune_last: bool = False
     hidden_size: int = 128
+    # dropout of the lang_cls / object_cls MlpHeads (the reference hardcodes
+    # 0.1, qa_module.py:223-232; exposed so training-parity goldens can run
+    # the train-mode graph deterministically)
+    head_pdrop: float = 0.1
     use_object_mask: bool = True
     use_lang_cls: bool = True
     use_reference: bool = True
@@ -122,8 +126,8 @@ class BridgeQA(nn.Module):
                                            use_text_decoder=c.use_text_decoder)
             self.blip_model = BLIPVQA3D(blip_cfg, dtype=self.dtype, name="blip_model")
             blip_enc_size = blip_cfg.med.hidden_size
-            self.lang_cls = MlpHead(c.hidden_size, c.num_object_class, 0.1, dtype=self.dtype, name="lang_cls")
-            self.object_cls = MlpHead(c.hidden_size, 1, 0.1, dtype=self.dtype, name="object_cls")
+            self.lang_cls = MlpHead(c.hidden_size, c.num_object_class, c.head_pdrop, dtype=self.dtype, name="lang_cls")
+            self.object_cls = MlpHead(c.hidden_size, 1, c.head_pdrop, dtype=self.dtype, name="object_cls")
             self.linear_blip_to_object = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype,
                                                   name="linear_blip_to_object")
             self.dec_list_qo = [
@@ -131,7 +135,7 @@ class BridgeQA(nn.Module):
                 for i in range(c.mcan_num_layers)
             ]
         else:
-            self.object_cls = MlpHead(c.hidden_size, 1, 0.1, dtype=self.dtype, name="object_cls")
+            self.object_cls = MlpHead(c.hidden_size, 1, c.head_pdrop, dtype=self.dtype, name="object_cls")
             self.lang_net = LangModule(c.num_object_class, use_lang_classifier=False,
                                        use_bidir=c.lang_use_bidir, hidden_size=c.hidden_size,
                                        pdrop=c.lang_pdrop, name="lang_net")
@@ -146,7 +150,7 @@ class BridgeQA(nn.Module):
                     finetune_last_layer=c.lang_bert_finetune_last, name="lang_bert_enc")
             self.lang_feat_linear = nn.Dense(c.hidden_size, kernel_init=normal_init, dtype=self.dtype,
                                              name="lang_feat_linear")
-            self.lang_cls = MlpHead(c.hidden_size, c.num_object_class, 0.1, dtype=self.dtype, name="lang_cls")
+            self.lang_cls = MlpHead(c.hidden_size, c.num_object_class, c.head_pdrop, dtype=self.dtype, name="lang_cls")
             self.attflat_visual = AttFlat(c.hidden_size, c.mcan_flat_mlp_size, c.mcan_flat_glimpses,
                                           c.mcan_flat_out_size, 0.1, dtype=self.dtype, name="attflat_visual")
             self.attflat_lang = AttFlat(c.hidden_size, c.mcan_flat_mlp_size, c.mcan_flat_glimpses,

@@ -53,9 +53,12 @@ class VoteNetDetector(nn.Module):
         vote_xyz, vote_features = VotingModule(
             self.vote_factor, self.seed_feat_dim, dtype=self.dtype, name="vgen"
         )(out["seed_xyz"], out["seed_features"], train=train, bn_momentum=bn_momentum)
-        # L2-normalize vote features over the feature axis (qa_module.py:452)
+        # L2-normalize vote features over the feature axis (qa_module.py:452).
+        # Exactly-zero rows (seeds whose ball-query groups were all empty at
+        # degenerate point densities + zero-init biases) stay zero instead of
+        # 0/0 = NaN; any nonzero norm divides identically to the reference.
         norm = jnp.linalg.norm(vote_features, axis=-1, keepdims=True)
-        vote_features = vote_features / norm
+        vote_features = vote_features / jnp.where(norm == 0.0, 1.0, norm)
         out["vote_xyz"] = vote_xyz
         out["vote_features"] = vote_features
 

@@ -50,7 +50,9 @@ class BatchNorm(nn.Module):
 
         if train:
             reduce_axes = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
+            # f32 statistics under bf16 compute; promote (not demote) so the
+            # f64 training-parity goldens keep full precision end-to-end
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             mean = jnp.mean(xf, axis=reduce_axes)
             var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
             if not self.is_initializing():

@@ -72,7 +72,7 @@ class MHAtt(nn.Module):
         scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / jnp.sqrt(hd).astype(qh.dtype)
         if mask is not None:
             scores = jnp.where(mask, -1e9, scores)
-        att = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
+        att = jax.nn.softmax(scores.astype(jnp.promote_types(scores.dtype, jnp.float32)), axis=-1).astype(v.dtype)
         att = nn.Dropout(self.pdrop)(att, deterministic=deterministic)
 
         out = jnp.einsum("bhqk,bhkd->bhqd", att, vh).transpose(0, 2, 1, 3).reshape(b, -1, self.hidden_size)
@@ -174,7 +174,7 @@ class AttFlat(nn.Module):
             topk_mask = topk_mask.at[:, :, drop_cols].set(False)
             att = jnp.where(topk_mask.transpose(0, 2, 1), -jnp.inf, att)
 
-        att = jax.nn.softmax(att.astype(jnp.float32), axis=1).astype(x.dtype)
+        att = jax.nn.softmax(att.astype(jnp.promote_types(att.dtype, jnp.float32)), axis=1).astype(x.dtype)
         glimpses = [jnp.sum(att[:, :, i : i + 1] * x, axis=1) for i in range(self.flat_glimpses)]
         x_atted = jnp.concatenate(glimpses, axis=1)
         return nn.Dense(self.flat_out_size, kernel_init=normal_init, dtype=self.dtype, name="linear_merge")(x_atted)

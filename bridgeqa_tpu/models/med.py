@@ -58,7 +58,7 @@ class MedConfig:
     parallel_layernorms: int = 0
     remat: bool = False  # rematerialize each layer (training memory)
     # "block": recompute the whole layer in the backward (default; matches
-    #          the reference's checkpoint_wrapper granularity);
+    #          coarser than the reference's per-attn/per-mlp checkpoint_wrapper, vit.py:103-105);
     # "attn": recompute only the (B, nh, Lq, Lk) attention scores/probs
     #         (the twin encoder's cross-attention keys span 901 image
     #         tokens) and save every other activation — chip-measured OOM
@@ -145,7 +145,7 @@ class BertSelfAttention(nn.Module):
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
         if attention_bias is not None:
             scores = scores + attention_bias.astype(scores.dtype)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        probs = jax.nn.softmax(scores.astype(jnp.promote_types(scores.dtype, jnp.float32)), axis=-1).astype(scores.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         return ctx.transpose(0, 2, 1, 3).reshape(b, lq, c.hidden_size)
 
@@ -180,9 +180,11 @@ class BertSelfAttention(nn.Module):
             if attention_bias is not None:  # (kb, 1, 1, lk) question padding bias
                 scores = scores + attention_bias.astype(scores.dtype)
             scores = checkpoint_name(scores, "bert_attn_scores")
-            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+            probs = checkpoint_name(jax.nn.softmax(scores.astype(jnp.promote_types(scores.dtype, jnp.float32)), axis=-1),
+                                    "bert_attn_probs32").astype(scores.dtype)
             probs = checkpoint_name(probs, "bert_attn_probs")
-            probs_d = self.prob_dropout(probs, deterministic=deterministic)
+            probs_d = checkpoint_name(self.prob_dropout(probs, deterministic=deterministic),
+                                      "bert_attn_probs_d")
             ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_d, v)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, h)
             return ctx, probs
@@ -200,7 +202,7 @@ class BertSelfAttention(nn.Module):
             if attention_bias is not None:
                 # incoming bias is (B', 1|nh, Lq|1, Lk) -> (B', Lq|1, Lk, 1|nh)
                 scores = scores + attention_bias.transpose(0, 2, 3, 1).astype(scores.dtype)
-            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=2).astype(scores.dtype)
+            probs = jax.nn.softmax(scores.astype(jnp.promote_types(scores.dtype, jnp.float32)), axis=2).astype(scores.dtype)
             probs_d = self.prob_dropout(probs, deterministic=deterministic)
             ctx = jnp.sum(probs_d[..., None] * vv[:, None], axis=2)  # (B, Lq, nh, hd)
             return ctx.reshape(b, lq, h), probs.transpose(0, 3, 1, 2)
@@ -210,9 +212,14 @@ class BertSelfAttention(nn.Module):
         if attention_bias is not None:
             scores = scores + attention_bias.astype(scores.dtype)
         scores = checkpoint_name(scores, "bert_attn_scores")
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(scores.dtype)
+        probs = checkpoint_name(jax.nn.softmax(scores.astype(jnp.promote_types(scores.dtype, jnp.float32)), axis=-1),
+                                "bert_attn_probs32").astype(scores.dtype)
         probs = checkpoint_name(probs, "bert_attn_probs")
-        probs_d = self.prob_dropout(probs, deterministic=deterministic)
+        # the dropout output and the f32 softmax are attention-shaped too —
+        # without naming them the "attn" remat policy would still save
+        # (B, nh, Lq, Lk) tensors and the memory saving would evaporate
+        probs_d = checkpoint_name(self.prob_dropout(probs, deterministic=deterministic),
+                                  "bert_attn_probs_d")
 
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs_d, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, lq, h)
@@ -329,7 +336,8 @@ def _layer_cls(config: MedConfig):
     layernorm_idx static)."""
     if config.remat and config.remat_mode == "attn":
         policy = jax.checkpoint_policies.save_anything_except_these_names(
-            "bert_attn_scores", "bert_attn_probs")
+            "bert_attn_scores", "bert_attn_probs32", "bert_attn_probs",
+            "bert_attn_probs_d")
         return nn.remat(BertLayer, static_argnums=(5, 6, 7), policy=policy)
     if config.remat:
         return nn.remat(BertLayer, static_argnums=(5, 6, 7))
@@ -506,10 +514,10 @@ def _label_smoothed_from_shifted(shifted_logits, shifted_labels, epsilon: float 
     >10 GB and was the round-1 HBM OOM)."""
     valid = shifted_labels != -100
     safe_labels = jnp.where(valid, shifted_labels, 0)
-    lse = jax.nn.logsumexp(shifted_logits.astype(jnp.float32), axis=-1)
-    mean_logits = jnp.mean(shifted_logits.astype(jnp.float32), axis=-1)
+    lse = jax.nn.logsumexp(shifted_logits.astype(jnp.promote_types(shifted_logits.dtype, jnp.float32)), axis=-1)
+    mean_logits = jnp.mean(shifted_logits.astype(jnp.promote_types(shifted_logits.dtype, jnp.float32)), axis=-1)
     target = jnp.take_along_axis(shifted_logits, safe_labels[..., None], axis=-1)[..., 0]
-    nll = lse - target.astype(jnp.float32)
+    nll = lse - target.astype(lse.dtype)
     smooth = lse - mean_logits
     per_token = (1.0 - epsilon) * nll + epsilon * smooth
     per_token = jnp.where(valid, per_token, 0.0)

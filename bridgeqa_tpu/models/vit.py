@@ -73,10 +73,15 @@ class Attention(nn.Module):
 
         attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
         attn = checkpoint_name(attn, "vit_attn_scores")
-        # f32 softmax regardless of compute dtype (torch AMP semantics)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(q.dtype)
+        # f32 softmax regardless of compute dtype (torch AMP semantics);
+        # every attention-shaped intermediate (f32 probs, cast, dropout
+        # output) is checkpoint-named so the "attn" remat policy actually
+        # recomputes all of them instead of silently saving one
+        attn = checkpoint_name(jax.nn.softmax(attn.astype(jnp.promote_types(attn.dtype, jnp.float32)), axis=-1),
+                               "vit_attn_probs32").astype(q.dtype)
         attn = checkpoint_name(attn, "vit_attn_probs")
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        attn = checkpoint_name(nn.Dropout(self.attn_drop)(attn, deterministic=deterministic),
+                               "vit_attn_probs_d")
 
         x = jnp.einsum("bhnm,bhmd->bhnd", attn, v).transpose(0, 2, 1, 3).reshape(b, n, c)
         x = nn.Dense(self.dim, kernel_init=trunc_normal_init, dtype=self.dtype, name="proj")(x)
@@ -121,8 +126,11 @@ class VisionTransformer(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     remat: bool = False  # rematerialize block activations (training memory)
-    # "block": recompute the whole block in the backward (the reference's
-    #          fairscale checkpoint_wrapper behavior, vit.py:180-190).
+    # "block": recompute the whole block in the backward. The reference wraps
+    #          attn and mlp EACH in a fairscale checkpoint_wrapper (reference
+    #          vit.py:103-105), i.e. sub-block granularity; "block" is the
+    #          coarser whole-layer equivalent (functionally similar, saves
+    #          strictly more memory per recompute unit).
     # "attn": save everything except the (B, H, N, N) attention scores/probs
     #         and recompute just those (~5% recompute vs "block"'s ~33%) —
     #         cheaper recompute but saves ~6x more activation memory per
@@ -166,10 +174,11 @@ class VisionTransformer(nn.Module):
         # per-layer stochastic-depth rates (python-static, safe under jit)
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
         # jax.checkpoint per block trades recompute for activation memory
-        # (reference used fairscale checkpoint_wrapper, vit.py:180-190)
+        # (reference used fairscale checkpoint_wrapper, vit.py:103-105)
         if self.remat and self.remat_mode == "attn":
             policy = jax.checkpoint_policies.save_anything_except_these_names(
-                "vit_attn_scores", "vit_attn_probs")
+                "vit_attn_scores", "vit_attn_probs32", "vit_attn_probs",
+                "vit_attn_probs_d")
             block_cls = nn.remat(Block, static_argnums=(2,), policy=policy)
         elif self.remat:
             block_cls = nn.remat(Block, static_argnums=(2,))
