@@ -20,6 +20,7 @@ thread-prefetched numpy pipeline that device_puts directly onto the mesh's
 ``data`` axis (no per-rank dataset copies, no host→device copy in the step).
 """
 
+import os
 import threading
 import queue as queue_mod
 
@@ -357,21 +358,51 @@ def collate(samples):
     return out
 
 
+def _proc_worker(dataset, task_q, out_q):
+    """Batch-assembly worker process body: pull (gen, epoch, batch_idx,
+    sample_idxs), build + collate, push (gen, batch_idx, batch).
+
+    Exits via ``os._exit`` so inherited atexit handlers (JAX/TPU client
+    teardown in the parent) never run in the child."""
+    try:
+        while True:
+            task = task_q.get()
+            if task is None:
+                break
+            gen, epoch, b, idxs = task
+            if hasattr(dataset, "set_epoch"):
+                dataset.set_epoch(epoch)
+            out_q.put((gen, b, collate([dataset[int(i)] for i in idxs])))
+    except (KeyboardInterrupt, EOFError, BrokenPipeError):
+        pass
+    finally:
+        out_q.cancel_join_thread()
+        task_q.cancel_join_thread()
+        os._exit(0)
+
+
 class BatchIterator:
-    """Shuffling, thread-prefetched batch iterator with optional sharding.
+    """Shuffling, prefetched batch iterator with optional host sharding.
 
     Replaces torch DataLoader + DistributedSampler (``train.py:241-247``):
     ``shard(i, n)`` gives each host its contiguous slice; device placement
     happens in the training loop via ``parallel.shard_batch``.
+
+    ``num_workers`` > 1 assembles whole batches in forked worker PROCESSES
+    (the torch ``DataLoader(num_workers=N)`` role). Threads were measured
+    GIL-bound on this workload (40k-point numpy per sample: 4 threads run
+    *slower* than 1), so parallelism has to come from processes; each
+    worker builds and collates a full batch, so the parent only unpickles.
+    Workers are forked once and persist across epochs. Batches are yielded
+    in deterministic order (reorder buffer keyed on batch index) and the
+    per-(seed, epoch, idx) dataset rng makes the content identical for any
+    worker count in ``per_sample`` mode. A shared-stream dataset rng
+    (``rng_mode="stream"``, the reference's global-np.random semantics) is
+    position-dependent, so it forces the serial in-process path.
     """
 
     def __init__(self, dataset, batch_size, *, shuffle=True, seed=0, drop_last=True,
                  num_shards=1, shard_index=0, prefetch=2, num_workers=4):
-        """``num_workers`` > 1 assembles samples with a thread pool (numpy +
-        the native C++ vote/transform kernels release the GIL, so threads
-        overlap) — the torch ``DataLoader(num_workers=N)`` role. Sample
-        order is identical for any worker count; per-sample dataset rng
-        state is only deterministic with ``num_workers=1``."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -382,6 +413,10 @@ class BatchIterator:
         self.prefetch = prefetch
         self.num_workers = num_workers
         self.epoch = 0
+        self._procs = []
+        self._task_q = None
+        self._out_q = None
+        self._gen = 0  # bumped per __iter__; stale worker outputs are dropped
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards
@@ -389,6 +424,49 @@ class BatchIterator:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    # ---- process-pool management -------------------------------------
+    def _ensure_procs(self, workers):
+        alive = [p for p in self._procs if p.is_alive()]
+        if len(alive) == workers and len(alive) == len(self._procs):
+            return
+        self.shutdown()
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        self._task_q = ctx.Queue()
+        # bound: every in-flight task can complete + the reorder margin
+        self._out_q = ctx.Queue(maxsize=workers + max(2, self.prefetch) + 1)
+        self._procs = [
+            ctx.Process(target=_proc_worker, args=(self.dataset, self._task_q, self._out_q),
+                        daemon=True)
+            for _ in range(workers)
+        ]
+        for p in self._procs:
+            p.start()
+
+    def shutdown(self):
+        """Stop worker processes (idempotent; also safe mid-epoch)."""
+        if self._task_q is not None:
+            try:
+                for _ in self._procs:
+                    self._task_q.put(None)
+            except (ValueError, OSError):
+                pass
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._procs = []
+        self._task_q = None
+        self._out_q = None
+
+    def __del__(self):
+        try:
+            self.shutdown()
+        except Exception:
+            pass
+
+    # ---- iteration -----------------------------------------------------
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
@@ -396,34 +474,69 @@ class BatchIterator:
         order = order[self.shard_index :: self.num_shards]
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(self.epoch)
+        epoch = self.epoch
         self.epoch += 1
+        self._gen += 1
+        gen = self._gen
 
         nb = len(order) // self.batch_size if self.drop_last else (len(order) + self.batch_size - 1) // self.batch_size
-        q = queue_mod.Queue(maxsize=self.prefetch)
 
         workers = self.num_workers
         if workers > 1 and getattr(self.dataset, "rng_mode", "per_sample") == "stream":
-            # a shared-stream dataset rng is not thread-safe; fall back
+            # a shared-stream dataset rng is position-dependent: parallel
+            # assembly would change sample randomness; stay serial
             workers = 1
+        if workers > 1 and not hasattr(os, "fork"):
+            workers = 1
+        if workers > 1:
+            # process workers only help with spare cores: on a 1-2 core host
+            # the fork pool pays IPC (pickle through a pipe) for no
+            # parallelism and measures *slower* than the serial path
+            workers = min(workers, max(1, (os.cpu_count() or 1) - 1))
 
         if workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
+            self._ensure_procs(workers)
+            task_q, out_q = self._task_q, self._out_q
+            window = workers + max(2, self.prefetch)
+            sem = threading.Semaphore(window)
+            stop = threading.Event()
 
-            pool = ThreadPoolExecutor(max_workers=workers)
+            def feeder():
+                for b in range(nb):
+                    sem.acquire()
+                    if stop.is_set():
+                        return
+                    idxs = [int(i) for i in order[b * self.batch_size : (b + 1) * self.batch_size]]
+                    task_q.put((gen, epoch, b, idxs))
 
-            def worker():
-                for b in range(nb):
-                    idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    samples = list(pool.map(self.dataset.__getitem__, [int(i) for i in idxs]))
-                    q.put(collate(samples))
-                q.put(None)
-                pool.shutdown(wait=False)
-        else:
-            def worker():
-                for b in range(nb):
-                    idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    q.put(collate([self.dataset[int(i)] for i in idxs]))
-                q.put(None)
+            ft = threading.Thread(target=feeder, daemon=True)
+            ft.start()
+            pending = {}
+            try:
+                for want in range(nb):
+                    while want not in pending:
+                        g, b, batch = out_q.get()
+                        if g != gen:  # stale batch from an abandoned epoch
+                            continue
+                        pending[b] = batch
+                    yield pending.pop(want)
+                    sem.release()
+            finally:
+                # abandoned mid-epoch: unblock + stop the feeder; stale
+                # outputs are dropped by the next epoch's gen check
+                stop.set()
+                sem.release()
+            return
+
+        # serial path: one background thread builds while the main thread
+        # consumes (enough overlap for stream-rng/golden runs)
+        q = queue_mod.Queue(maxsize=self.prefetch)
+
+        def worker():
+            for b in range(nb):
+                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                q.put(collate([self.dataset[int(i)] for i in idxs]))
+            q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

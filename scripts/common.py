@@ -68,6 +68,9 @@ def add_data_args(p: argparse.ArgumentParser):
                         "(project_multiview_features.py output) for --use_multiview")
     p.add_argument("--synthetic", action="store_true",
                    help="run on generated scenes (no ScanNet needed)")
+    p.add_argument("--synthetic_records", type=int, default=32,
+                   help="synthetic train-split size (loader profiling wants "
+                        "epochs long enough to measure steady state)")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--answer_max_size", type=int, default=-1)
     p.add_argument("--answer_min_freq", type=int, default=1)
@@ -247,7 +250,9 @@ def build_datasets(args, *, splits=("train", "val")):
         tokenizer = synthetic_tokenizer()
         num_scenes = 4
         scene_data = synthetic_scene_data(num_scenes, num_points=max(args.num_points, 2048))
-        records = {s: synthetic_records(32 if s == "train" else 8, num_scenes) for s in splits}
+        records = {s: synthetic_records(
+            getattr(args, "synthetic_records", 32) if s == "train" else 8, num_scenes)
+            for s in splits}
     else:
         from bridgeqa_tpu.data.tokenization import WordPieceTokenizer
 

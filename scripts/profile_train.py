@@ -101,6 +101,12 @@ def main():
     # the batch-16 ViT backward's saved attention probs alone exceed 16G HBM.
     import dataclasses as _dc
     cfg = _dc.replace(cfg, blip=_dc.replace(cfg.blip, remat=True))
+    # the fused Pallas ViT/scoring kernels are inference-only (no VJP); the
+    # production train step runs the module path, so the component grad
+    # phases must too — vit_grad calls encode_image(train=False), which
+    # would otherwise route to the fused kernel and fail under value_and_grad
+    from bridgeqa_tpu.ops import vit_block as _vb
+    _vb.FUSED_MODE = "never"
     model = BridgeQA(cfg, mean_size_arr=dc.mean_size_arr, dtype=jnp.bfloat16)
     bos_id = cfg.blip.bos_token_id
     vmax = min(30000, cfg.blip.med.vocab_size - 2)
@@ -176,13 +182,21 @@ def main():
         """
         run = jax.jit(make_run, donate_argnums=(0,) if donate else ())
         get = operands if callable(operands) else (lambda: operands)
+
+        def fetch(res):
+            # donated phases return (final_state, scalar): the state output
+            # is what the donated input buffers alias into (without it XLA
+            # reports "donated buffers not usable" and double-buffers ~7G);
+            # fetch only the scalar to keep the host tunnel out of the timing
+            return np.asarray(res[-1] if isinstance(res, tuple) else res)
+
         t0 = time.perf_counter()
-        _ = np.asarray(run(get(), xs))  # compile + warm
+        _ = fetch(run(get(), xs))  # compile + warm
         print(f"# {label}: compiled+warm in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr, flush=True)
         ops = get()
         t0 = time.perf_counter()
-        _ = np.asarray(run(ops, xs))
+        _ = fetch(run(ops, xs))
         return max((time.perf_counter() - t0 - RPC_FLOOR) / REPS, 1e-9)
 
     results = {}
@@ -195,7 +209,7 @@ def main():
             new_state, metrics = train_body(model, dc, tx, step_cfg, carry, b, rng_i, 0.1)
             return new_state, metrics["loss"]
         st, losses = jax.lax.scan(body, st0, xs)
-        return jnp.sum(losses)
+        return st, jnp.sum(losses)
 
     results["full"] = timed(full_run, fresh_state, (pcs, rngs), "full", donate=True)
 

@@ -1,5 +1,7 @@
 """Data-layer tests: tokenizer, answer vocab, pipeline semantics."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -250,6 +252,68 @@ class TestMultiWorkerPrefetch:
         loader = BatchIterator(ds, 4, shuffle=False, num_workers=4)
         batches = list(loader)  # must not race the shared RandomState
         assert len(batches) == 3
+
+
+class TestProcessPoolLoader:
+    """Fork-based worker PROCESSES (the torch DataLoader(num_workers=N)
+    role; dataset __getitem__ is GIL-bound numpy, so threads cannot
+    overlap it). The pool auto-caps to cpu_count-1, so these tests
+    monkeypatch os.cpu_count to force the fork path on any host."""
+
+    def _ds(self):
+        return TestMultiWorkerPrefetch()._tiny_dataset("per_sample")
+
+    @pytest.mark.skipif(not hasattr(os, "fork"), reason="fork-only")
+    def test_bitwise_matches_serial_across_epochs(self, monkeypatch):
+        from bridgeqa_tpu.data.pipeline import BatchIterator
+
+        monkeypatch.setattr(os, "cpu_count", lambda: 8)
+        ser = BatchIterator(self._ds(), 4, shuffle=True, seed=0, num_workers=1)
+        par = BatchIterator(self._ds(), 4, shuffle=True, seed=0, num_workers=3)
+        try:
+            for _epoch in range(2):
+                sb, pb = list(ser), list(par)
+                assert len(sb) == len(pb) == 3
+                for a, b in zip(sb, pb):
+                    assert set(a) == set(b)
+                    for k in a:
+                        va = np.asarray(a[k])
+                        if va.dtype == object:
+                            assert list(map(str, va.ravel())) == list(
+                                map(str, np.asarray(b[k]).ravel())), k
+                        else:
+                            np.testing.assert_array_equal(va, b[k], err_msg=k)
+        finally:
+            par.shutdown()
+
+    @pytest.mark.skipif(not hasattr(os, "fork"), reason="fork-only")
+    def test_abandoned_epoch_then_reuse(self, monkeypatch):
+        from bridgeqa_tpu.data.pipeline import BatchIterator
+
+        monkeypatch.setattr(os, "cpu_count", lambda: 8)
+        par = BatchIterator(self._ds(), 4, shuffle=True, seed=0, num_workers=3)
+        try:
+            it = iter(par)
+            next(it)  # abandon mid-epoch: stale-gen outputs must be dropped
+            del it
+            full = list(par)
+            assert len(full) == 3
+        finally:
+            par.shutdown()
+        par.shutdown()  # idempotent
+
+    def test_single_cpu_host_auto_serial(self, monkeypatch):
+        from bridgeqa_tpu.data import pipeline
+        from bridgeqa_tpu.data.pipeline import BatchIterator
+
+        monkeypatch.setattr(os, "cpu_count", lambda: 1)
+        calls = []
+        monkeypatch.setattr(
+            BatchIterator, "_ensure_procs",
+            lambda self, w: calls.append(w), raising=True)
+        loader = BatchIterator(self._ds(), 4, shuffle=False, num_workers=4)
+        assert len(list(loader)) == 3
+        assert calls == []  # IPC-only pool never spun up
 
 
 class TestPerSampleRngMode:

@@ -480,12 +480,6 @@ class TestTrajectoryGolden:
             our_votes.append(float(metrics["vote_loss"]))
             if k == 0:
                 print("\nstep0 metrics:", {m: round(float(v), 4) for m, v in metrics.items()})
-                pn = float(sum(float(jnp.sum(jnp.square(x.astype(jnp.float32))))
-                               for x in jax.tree.leaves(state.params)))
-                bn_ = {kk: float(np.square(np.asarray(vv, np.float64)).sum())
-                       for kk, vv in tpair.batch.items()}
-                print("state params sqnorm:", pn)
-                print("batch sqnorms:", {kk: round(v, 3) for kk, v in sorted(bn_.items())})
 
         print("\ntraj ours:", [round(x, 3) for x in our_losses])
         print("traj ref: ", [round(x, 3) for x in ref_losses])
