@@ -19,7 +19,13 @@ import pytest
 
 from tests.ref_shim import REFERENCE, import_ref_dataset
 
-pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="no reference snapshot")
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="no reference snapshot"),
+    # reference-torch golden tier: executes the reference snapshot's own
+    # torch code on CPU (minutes per test) — excluded from the default
+    # fast suite; run with `pytest -m golden`
+    pytest.mark.golden,
+]
 
 torch = pytest.importorskip("torch")
 
